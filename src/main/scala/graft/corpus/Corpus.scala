@@ -1,0 +1,186 @@
+package graft.corpus
+
+import graft.model.Page
+import graft.text.TextExtract
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic synthetic Common-Crawl-style page corpus (SURVEY §7.1.1).
+  *
+  * No external data (BASELINE.json): pages are generated from a seeded,
+  * index-addressed PRNG so any row is reproducible independently of
+  * partitioning — `spark.range(n).map(genPage)` is deterministic at every
+  * parallelism level, which the scaling benchmark and resume tests rely on.
+  *
+  * Document archetypes mirror the reference's two example customers
+  * (/root/reference/examples/high_customers): a German financial-advisory
+  * text with JSON front-matter, an English interview transcript with
+  * `Speaker: utterance` dialog, and a generic note. Edge-case variants
+  * (missing front-matter, `---` in body, CRLF, empty, non-JSON front-matter)
+  * exercise the byte-identical extraction tests.
+  */
+object Corpus {
+
+  val firstNames = Vector("Tim", "Jon", "Pat", "Anna", "Maria", "David", "Sarah", "Michael",
+    "Laura", "Peter", "Nina", "Thomas", "Julia", "Mark", "Eva", "Karl")
+  val lastNames = Vector("Wolff", "Fortt", "Gelsinger", "Schmidt", "Miller", "Chen", "Weber",
+    "Braun", "Keller", "Novak", "Stein", "Roth", "Lang", "Frank", "Kohl", "Iyer")
+  /** Org vocabulary seeds the keyword-NER hits; "Intel" is the hub entity
+    * (appears in ~1/3 of interview docs) for the canonicalization skew tests.
+    */
+  val orgs = Vector("Google", "Microsoft", "Amazon", "Intel Corporation", "Acme Company",
+    "Vertex Institute", "Nova University", "Orbit LLC")
+  val topics = Vector("innovation", "semiconductors", "cloud computing", "leadership",
+    "manufacturing", "artificial intelligence", "financial planning", "insurance")
+
+  val germanSentences = Vector(
+    "Ein Berater ist nicht nur für den Depotstand da.",
+    "Steuer, Versicherungen, Lebensplanung – alles gehört dazu.",
+    "Trennung gibt Sicherheit, das ist der Punkt.",
+    "Wer das vermischt, wird bei jeder Gelegenheit schwach.",
+    "Du brauchst eine klare Struktur für dein Alter.",
+    "Meine Kunden rufen mich auch für völlig andere Themen an.",
+    "Das ist der Mehrwert, den man nicht sieht, wenn man nur auf Kosten schaut.",
+    "Nur eine Versicherung kann dir das Risiko abnehmen.")
+  /** English filler with keyword-NER / insights / needs triggers mixed in. */
+  val englishSentences = Vector(
+    "We invested heavily in manufacturing capacity and new technology this year.",
+    "I led the engineering team through a difficult transition and we created a new process.",
+    "My experience with software development taught me the value of planning.",
+    "Our goal is to achieve a stable and predictable roadmap for the future.",
+    "The team managed to grow revenue while helping the community.",
+    "Leadership means you plan to learn every single day and improve your skills.",
+    "We want to make a difference and give back to society.",
+    "Security and control matter when you structure a financial plan.")
+
+  def nameAt(rng: SplitRng): String = s"${pick(rng, firstNames)} ${pick(rng, lastNames)}"
+  private def pick[T](rng: SplitRng, v: Vector[T]): T = v(rng.nextInt(v.length))
+
+  /** Deterministic per-index generator. idx → Page. */
+  def genPage(idx: Long, seed: Long = 42L, customers: Int = 64): Page = {
+    val rng = new SplitRng(seed, idx)
+    val archetype = (idx % 10) match {
+      case 0 | 1 | 2 => "financial" // 30%
+      case 3 | 4 | 5 | 6 => "interview" // 40%
+      case _ => "generic" // 30%
+    }
+    val cidNum = rng.nextInt(customers)
+    val cname = {
+      val r2 = new SplitRng(seed * 31 + 7, cidNum.toLong) // stable name per customer
+      nameAt(r2)
+    }
+    val cid = f"$cidNum%02d_${cname.toLowerCase.replace(' ', '_')}"
+    val variant = rng.nextInt(20) // edge-case lottery
+    val (fileName, body) = archetype match {
+      case "financial" => (s"beratung_$idx.html", financialDoc(rng, cname, variant))
+      case "interview" => (s"interview_$idx.html", interviewDoc(rng, cname, variant))
+      case _ => (s"note_$idx.html", genericDoc(rng, cname, variant))
+    }
+    val raw = applyVariant(body, variant)
+    val url = s"https://crawl.example.org/customers/$cid/$fileName"
+    val ts = new java.sql.Timestamp(1726000000000L + idx * 1000L)
+    val lang = if (archetype == "financial") "de" else "en"
+    Page(url, ts, TextExtract.wrapHtml(raw, fileName), raw, lang)
+  }
+
+  def frontMatter(cname: String, contentType: String, badJson: Boolean): String = {
+    if (badJson) "---\nnot json at all ::::\n---\n\n"
+    else
+      s"""---
+{
+  "ContentType": "text/plain",
+  "content_type": "$contentType",
+  "Title": "Generated document",
+  "PersonaName": "$cname",
+  "Tags": "generated,corpus"
+}
+---
+
+"""
+  }
+
+  def financialDoc(rng: SplitRng, cname: String, variant: Int): String = {
+    val n = 3 + rng.nextInt(6)
+    val paras = (0 until n).map { _ =>
+      (0 until (2 + rng.nextInt(3))).map(_ => pick(rng, germanSentences)).mkString(" ")
+    }
+    val engExtra = if (rng.nextInt(4) == 0) Seq(pick(rng, englishSentences)) else Nil
+    frontMatter(cname, "financial_advice", variant == 17) +
+      (paras ++ engExtra).mkString("\n\n")
+  }
+
+  def interviewDoc(rng: SplitRng, cname: String, variant: Int): String = {
+    val host = nameAt(rng)
+    val org = pick(rng, orgs)
+    val hub = if (rng.nextInt(3) == 0) " Intel has a long history here." else ""
+    val turns = 4 + rng.nextInt(8)
+    val lines = (0 until turns).map { t =>
+      val speaker = if (t % 2 == 0) host else cname
+      val s1 = pick(rng, englishSentences)
+      val s2 = if (t == 1) s"At $org we $s1" else s1
+      s"$speaker: $s2$hub"
+    }
+    frontMatter(cname, "interview_transcript", variant == 17) + lines.mkString("\n")
+  }
+
+  def genericDoc(rng: SplitRng, cname: String, variant: Int): String = {
+    val n = 1 + rng.nextInt(4)
+    val paras = (0 until n).map { _ =>
+      (0 until (1 + rng.nextInt(4))).map(_ => pick(rng, englishSentences)).mkString(" ")
+    }
+    // half carry a "generic_note" front matter (→ generic route); the rest
+    // have none → defaults apply (content_type interview_transcript quirk)
+    val fm = if (rng.nextInt(2) == 0) frontMatter(cname, "generic_note", variant == 17) else ""
+    fm + paras.mkString("\n\n")
+  }
+
+  /** Edge-case variants for the byte-identical tests. */
+  def applyVariant(body: String, variant: Int): String = variant match {
+    case 18 => body.replace("\n", "\r\n") // CRLF
+    case 19 => body + "\n\nlist --- of --- dashes inside body"
+    case 16 => "" // empty file
+    case _ => body
+  }
+
+  def pages(spark: SparkSession, n: Long, seed: Long = 42L, partitions: Int = 0): Dataset[Page] = {
+    import spark.implicits._
+    val base = if (partitions > 0) spark.range(0L, n, 1L, partitions) else spark.range(n)
+    base.map(i => genPage(i, seed))
+  }
+
+  /** Alternative corpus: wrap the driver-provided documents table
+    * (testdata documents.parquet) as pages — used by SparkEntry's
+    * flagship so the driver-visible path runs on driver data.
+    */
+  def pagesFromDocuments(spark: SparkSession, sfDir: String): Dataset[Page] = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+      .as[(Long, String, String, String)]
+      .map { case (id, text, lang, source) =>
+        val url = s"https://corpus.local/customers/${source}/doc_$id.html"
+        Page(url, new java.sql.Timestamp(1726000000000L + id * 1000L),
+          TextExtract.wrapHtml(text, s"doc_$id"), text, lang)
+      }
+  }
+}
+
+/** SplittableRandom-style per-index PRNG: independent of partition layout. */
+final class SplitRng(seed: Long, idx: Long) {
+  private var state: Long = {
+    var z = seed ^ java.lang.Long.rotateLeft(idx * 0x9E3779B97F4A7C15L, 31)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def nextLong(): Long = {
+    state += 0x9E3779B97F4A7C15L
+    var z = state
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def nextInt(bound: Int): Int = {
+    require(bound > 0)
+    (Math.floorMod(nextLong(), bound.toLong)).toInt
+  }
+}

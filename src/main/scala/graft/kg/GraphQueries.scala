@@ -1,0 +1,71 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Read/query API over the materialized nodes/edges tables — the Spark
+  * equivalent of the Gremlin query proxy (neptune_query_proxy.py:110-221)
+  * and the CLI reader (scripts/neptune_customer_graph_reader.py).
+  * Plain DataFrame queries: partition pruning on customer_id does the work
+  * Neptune's property index did.
+  */
+object GraphQueries {
+
+  /** Per-customer nodes (query_customer_nodes :110-141). */
+  def customerNodes(nodes: DataFrame, customerId: String, limit: Int = 100): DataFrame =
+    nodes.where(col("customer_id") === customerId).limit(limit)
+
+  /** Per-customer edges with BOTH endpoints in the customer's subgraph —
+    * J8 endpoint semi-join (query_customer_edges :143-186).
+    */
+  def customerEdges(nodes: DataFrame, edges: DataFrame, customerId: String, limit: Int = 100): DataFrame = {
+    val ids = nodes.where(col("customer_id") === customerId).select(col("node_id")).distinct()
+    edges.where(col("customer_id") === customerId)
+      .join(ids.withColumnRenamed("node_id", "source_node_id"), Seq("source_node_id"), "left_semi")
+      .join(ids.withColumnRenamed("node_id", "target_node_id"), Seq("target_node_id"), "left_semi")
+      .limit(limit)
+  }
+
+  /** Per-customer summary: type histograms (query_customer_summary :188-221, A1). */
+  def customerSummary(nodes: DataFrame, edges: DataFrame, customerId: String): (DataFrame, DataFrame) = (
+    nodes.where(col("customer_id") === customerId).groupBy("node_type").count(),
+    edges.where(col("customer_id") === customerId).groupBy("relationship_type").count())
+
+  /** A5 — degree per node (exploded endpoints). */
+  def nodeDegrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(col("source_node_id"), col("target_node_id"))).as("node_id"))
+      .groupBy("node_id").count().withColumnRenamed("count", "degree")
+
+  /** W2 — top-k most-connected nodes with content (v2:1339-1343). */
+  def centralEntities(nodes: DataFrame, edges: DataFrame, k: Int = 3): DataFrame =
+    nodeDegrees(edges)
+      .join(nodes.select(col("node_id"), col("content")).dropDuplicates("node_id"), Seq("node_id"))
+      .orderBy(desc("degree"), asc("node_id")).limit(k)
+
+  /** A3/A4/W7 — graph metrics per customer: density, avg confidence, the
+    * lexicographic-max "most_common_relationship" quirk (v2:1347-1348),
+    * diversity and quality score (v2:1353-1382).
+    */
+  def graphMetrics(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val n = nodes.groupBy(col("customer_id")).agg(
+      count(lit(1)).as("total_nodes"),
+      avg(col("confidence")).as("avg_node_confidence"),
+      countDistinct(col("node_type")).as("entity_diversity"))
+    val e = edges.groupBy(col("customer_id")).agg(
+      count(lit(1)).as("total_edges"),
+      avg(col("weight")).as("avg_edge_confidence"),
+      countDistinct(col("relationship_type")).as("relationship_diversity"),
+      max(col("relationship_type")).as("most_common_relationship")) // W7 quirk kept as spec
+    n.join(e, Seq("customer_id"), "left")
+      .na.fill(0L, Seq("total_edges", "relationship_diversity"))
+      .na.fill(0.0, Seq("avg_edge_confidence"))
+      .withColumn("graph_density",
+        when(col("total_nodes") > 1,
+          col("total_edges") / (col("total_nodes") * (col("total_nodes") - 1)))
+          .otherwise(lit(0.0)))
+      .withColumn("quality_score",
+        lit(0.3) * col("avg_node_confidence") + lit(0.3) * col("avg_edge_confidence") +
+          lit(0.2) * least(col("entity_diversity") / 6.0, lit(1.0)) +
+          lit(0.2) * least(col("relationship_diversity") / 5.0, lit(1.0)))
+  }
+}

