@@ -1,13 +1,460 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.corpus.Corpus
+import graft.kg.Pipeline
+import graft.ops.{Multimodal, NearDup, Similarity, TextOps}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — SURVEY.md §2 operator coverage as (query, DuckDB-oracle)
+  * pairs over the driver testdata, plus the KG pipeline itself (q25/entry).
+  * Non-SQL-expressible ops (simhash, LSH-ANN internals, multimodal stubs,
+  * connected components) have queries without oracles → rows-only checks;
+  * their correctness is covered by ScalaTest (incl. the reference-parity
+  * suite in test-oracle/).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Flagship: full KG pipeline (extract→analyze→needs→build→triples) over
+    * pages wrapped from the documents table; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    kgPipelineTriples(spark, "/root/testdata/sf0.001")
+
+  private def kgPipelineTriples(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pages = Corpus.pagesFromDocuments(s, dir)
+    Pipeline.docGraphs(s, pages)
+      .flatMap(g => graft.kg.GraphBuild.triples(g))
+      .select($"customer_id", $"url", $"subj", $"pred", $"obj", $"confidence")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational engine coverage (scan/filter/join/agg/window/setops)
+    "q01_pricing_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    "q02_region_revenue" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), sum(dec(col("o_totalprice"))).as("revenue"))
+    }),
+
+    "q03_top_orders_per_segment" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+    }),
+
+    "q04_customers_with_open_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q05_customers_without_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    "q06_rollup_geo" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), sum(dec(col("c_acctbal"))).as("sum_acctbal"))
+    }),
+
+    "q07_priority_setops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.where(col("o_orderstatus") === "F").select(col("o_orderpriority")).distinct()
+      val open = o.where(col("o_orderstatus") === "O").select(col("o_orderpriority")).distinct()
+      val p = o.where(col("o_orderstatus") === "P").select(col("o_orderpriority")).distinct()
+      f.intersect(open).except(p)
+    }),
+
+    "q08_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+    }),
+
+    "q09_latest_event_per_user" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    }),
+
+    "q10_user_event_share" -> ((s, dir) => {
+      t(s, dir, "events").groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+        .withColumn("pct", round(col("n_events") * lit(100.0) / sum(col("n_events")).over(Window.partitionBy()), 6))
+    }),
+
+    // ---------------- documents: text statistics / dedup / near-dup
+    "q11_doc_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.distinctTokenCount(col("text")).as("n_distinct"),
+        length(col("text")).cast("long").as("len_chars"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+    }),
+
+    "q12_exact_dedup" -> ((s, dir) => TextOps.exactDedup(t(s, dir, "documents"))),
+
+    "q13_langid" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val votes = TextOps.langVotes(col("text"))
+      d.select(Seq(col("doc_id")) ++
+        votes.map { case (l, c) => c.as(s"${l}_votes") } :+
+        TextOps.langGuess(col("text")).as("lang_guess"): _*)
+    }),
+
+    "q14_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    "q15_minhash" -> ((s, dir) => NearDup.minhashSignatures(t(s, dir, "documents"), k = 8)),
+
+    "q16_neardup_pairs" -> ((s, dir) => NearDup.jaccardPairs(t(s, dir, "documents"), 0.8)),
+
+    "q17_lsh_candidates" -> ((s, dir) =>
+      NearDup.lshCandidates(NearDup.lshBands(NearDup.minhashSignatures(t(s, dir, "documents"), k = 8), 4))),
+
+    // ---------------- KG materialize/query over relational FKs
+    "q18_kg_nodes" -> ((s, dir) => {
+      val r = t(s, dir, "region").select(lit("region").as("node_type"), col("r_name").as("content"))
+      val n = t(s, dir, "nation").select(lit("nation").as("node_type"), col("n_name").as("content"))
+      val c = t(s, dir, "customer").select(lit("customer").as("node_type"), col("c_name").as("content"))
+      r.unionByName(n).unionByName(c)
+        .select(concat(lit("node_"),
+          substring(sha2(concat(lit("tpch:"), col("node_type"), lit(":"), col("content")), 256), 1, 16)).as("node_id"),
+          col("node_type"), col("content"))
+    }),
+
+    "q19_kg_edges" -> ((s, dir) => {
+      def nid(tpe: String, content: Column): Column =
+        concat(lit("node_"), substring(sha2(concat(lit(s"tpch:$tpe:"), content), 256), 1, 16))
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region"); val c = t(s, dir, "customer")
+      val e1 = n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(nid("nation", col("n_name")).as("src_id"), nid("region", col("r_name")).as("dst_id"),
+          lit("part_of").as("rel"))
+      val e2 = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(nid("customer", col("c_name")).as("src_id"), nid("nation", col("n_name")).as("dst_id"),
+          lit("located_in").as("rel"))
+      e1.unionByName(e2)
+        .select(concat(lit("edge_"),
+          substring(sha2(concat(lit("tpch:"), col("src_id"), lit(":"), col("dst_id"), lit(":"), col("rel")), 256), 1, 16)).as("edge_id"),
+          col("src_id"), col("dst_id"), col("rel"))
+    }),
+
+    "q20_kg_degree" -> ((s, dir) => {
+      queries("q19_kg_edges")(s, dir)
+        .select(explode(array(col("src_id"), col("dst_id"))).as("node_id"))
+        .groupBy(col("node_id")).agg(count(lit(1)).as("degree"))
+    }),
+
+    "q21_kg_central" -> ((s, dir) => {
+      queries("q20_kg_degree")(s, dir)
+        .join(queries("q18_kg_nodes")(s, dir), Seq("node_id"))
+        .orderBy(col("degree").desc, col("node_id").asc)
+        .limit(3)
+        .select(col("node_id"), col("content"), col("node_type"), col("degree"))
+    }),
+
+    "q22_term_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok").asc)
+        .limit(20)
+    }),
+
+    // ---------------- embedding similarity search
+    "q23_ann_cosine_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), queryIds = 0L until 8L, k = 5)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")),
+
+    // ---------------- KG pipeline end-to-end (flagship)
+    "q25_kg_pipeline_triples" -> ((s, dir) => kgPipelineTriples(s, dir)),
+
+    // ---------------- rows-only checks (not SQL-expressible in the oracle)
+    "q24_ann_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), queryIds = 0L until 8L, k = 5)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")),
+
+    "q26_simhash" -> ((s, dir) => NearDup.simhashDF(t(s, dir, "documents"))),
+
+    "q27_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.featureSummary(
+        Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 1000)).toDF())
+    }),
+
+    "q28_canon_components" -> ((s, dir) => {
+      val pairs = NearDup.jaccardPairs(t(s, dir, "documents"), 0.8)
+        .select(col("d1").cast("string").as("src"), col("d2").cast("string").as("dst"))
+      graft.canon.Canonicalize.connectedComponents(s, pairs)
+        .select(col("id").cast("long").as("doc_id"), col("component").cast("long").as("component"))
+    })
+  )
+
+  /** DuckDB-runnable oracle SQL per query (same parquet tables). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         count(*) AS count_order
+         FROM lineitem GROUP BY 1, 2""",
+
+    "q02_region_revenue" ->
+      """SELECT r_name, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1""",
+
+    "q03_top_orders_per_segment" ->
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+           SELECT c_mktsegment, o_orderkey, o_totalprice,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk
+           FROM orders JOIN customer ON o_custkey = c_custkey) q
+         WHERE rnk <= 3""",
+
+    "q04_customers_with_open_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')""",
+
+    "q05_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+
+    "q06_rollup_geo" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP(r_name, n_name)""",
+
+    "q07_priority_setops" ->
+      """SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+         INTERSECT
+         SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+         EXCEPT
+         SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderstatus = 'P'""",
+
+    "q08_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*) AS n, min(value) AS min_value, max(value) AS max_value
+         FROM events GROUP BY 1, 2""",
+
+    "q09_latest_event_per_user" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM events) q
+         WHERE rn = 1""",
+
+    "q10_user_event_share" ->
+      """SELECT user_id, count(*) AS n_events,
+         round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct
+         FROM events GROUP BY 1""",
+
+    "q11_doc_stats" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct,
+         CAST(length(text) AS BIGINT) AS len_chars,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents""",
+
+    "q12_exact_dedup" ->
+      """SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+         doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate,
+         count(*) OVER (PARTITION BY md5(text)) AS group_size
+         FROM documents""",
+
+    "q13_langid" -> {
+      def occ(w: String) =
+        s"CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
+      val votes = TextOps.langStopwords.map { case (l, ws) =>
+        s"(${ws.map(occ).mkString(" + ")}) AS ${l}_votes"
+      }.mkString(", ")
+      val guess = {
+        val vexprs = TextOps.langStopwords.map { case (l, _) => s"${l}_votes" }
+        val maxv = s"greatest(${vexprs.mkString(", ")})"
+        val cases = TextOps.langStopwords.map { case (l, _) =>
+          s"WHEN $maxv > 0 AND ${l}_votes = $maxv THEN '$l'"
+        }.mkString(" ")
+        s"CASE $cases ELSE 'und' END AS lang_guess"
+      }
+      s"SELECT doc_id, ${TextOps.langStopwords.map(_._1).map(l => s"${l}_votes").mkString(", ")}, $guess FROM (SELECT doc_id, $votes FROM documents) v"
+    },
+
+    "q14_quality" ->
+      """SELECT doc_id, round(
+           0.4 * least(CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')) AS DOUBLE) / 100.0, 1.0)
+         + 0.3 * (CASE WHEN len(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')) > 0
+             THEN CAST(len(list_distinct(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> ''))) AS DOUBLE)
+                / CAST(len(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')) AS DOUBLE) ELSE 0.0 END)
+         + 0.3 * (1.0 - CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+             ELSE 0.0 END), 6) AS quality
+         FROM documents""",
+
+    "q15_minhash" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         seeds AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed)
+         SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+                min(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS minhash
+         FROM sh CROSS JOIN seeds GROUP BY 1, 2""",
+
+    "q16_neardup_pairs" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         ds AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                   FROM ds x JOIN ds y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1)
+         SELECT d1, d2, round(inter / (s1.n + s2.n - inter), 6) AS jaccard
+         FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE round(inter / (s1.n + s2.n - inter), 6) > 0.8""",
+
+    "q17_lsh_candidates" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         seeds AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed),
+         mh AS (SELECT doc_id, seed, min(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 4 AS band,
+                          md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+                   FROM mh GROUP BY 1, 2)
+         SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+         WHERE a.doc_id < b.doc_id""",
+
+    "q18_kg_nodes" ->
+      """SELECT 'node_' || substr(sha256('tpch:' || node_type || ':' || content), 1, 16) AS node_id,
+                node_type, content
+         FROM (SELECT 'region' AS node_type, r_name AS content FROM region
+               UNION ALL SELECT 'nation', n_name FROM nation
+               UNION ALL SELECT 'customer', c_name FROM customer)""",
+
+    "q19_kg_edges" ->
+      """WITH e AS (
+           SELECT 'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16) AS src_id,
+                  'node_' || substr(sha256('tpch:region:' || r_name), 1, 16) AS dst_id,
+                  'part_of' AS rel
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'node_' || substr(sha256('tpch:customer:' || c_name), 1, 16),
+                  'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16),
+                  'located_in'
+           FROM customer JOIN nation ON c_nationkey = n_nationkey)
+         SELECT 'edge_' || substr(sha256('tpch:' || src_id || ':' || dst_id || ':' || rel), 1, 16) AS edge_id,
+                src_id, dst_id, rel FROM e""",
+
+    "q20_kg_degree" ->
+      """WITH e AS (
+           SELECT 'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16) AS src_id,
+                  'node_' || substr(sha256('tpch:region:' || r_name), 1, 16) AS dst_id
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'node_' || substr(sha256('tpch:customer:' || c_name), 1, 16),
+                  'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16)
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         ends AS (SELECT src_id AS node_id FROM e UNION ALL SELECT dst_id FROM e)
+         SELECT node_id, count(*) AS degree FROM ends GROUP BY 1""",
+
+    "q21_kg_central" ->
+      """WITH nodes AS (
+           SELECT 'node_' || substr(sha256('tpch:' || node_type || ':' || content), 1, 16) AS node_id,
+                  node_type, content
+           FROM (SELECT 'region' AS node_type, r_name AS content FROM region
+                 UNION ALL SELECT 'nation', n_name FROM nation
+                 UNION ALL SELECT 'customer', c_name FROM customer)),
+         e AS (
+           SELECT 'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16) AS src_id,
+                  'node_' || substr(sha256('tpch:region:' || r_name), 1, 16) AS dst_id
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'node_' || substr(sha256('tpch:customer:' || c_name), 1, 16),
+                  'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16)
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         ends AS (SELECT src_id AS node_id FROM e UNION ALL SELECT dst_id FROM e),
+         deg AS (SELECT node_id, count(*) AS degree FROM ends GROUP BY 1)
+         SELECT d.node_id, n.content, n.node_type, d.degree
+         FROM deg d JOIN nodes n ON d.node_id = n.node_id
+         ORDER BY d.degree DESC, d.node_id ASC LIMIT 3""",
+
+    "q22_term_histogram" ->
+      """SELECT tok, count(*) AS cnt FROM (
+           SELECT unnest(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')) AS tok
+           FROM documents) t
+         GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 20""",
+
+    "q23_ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qemb
+                    FROM embeddings WHERE vec_id < 8),
+         s AS (SELECT q.qid, e.vec_id AS nid,
+                      round(list_cosine_similarity(q.qemb, CAST(e.embedding AS DOUBLE[])), 6) AS cos_sim
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk FROM s)
+         SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5""",
+
+    "q25_kg_pipeline_triples" ->
+      """WITH pat AS (
+           SELECT * FROM (VALUES
+             ('person', 'demonstrates', 'Significance', 0.8),
+             ('person', 'demonstrates', 'Connection', 0.6),
+             ('person', 'demonstrates', 'Growth', 0.7),
+             ('Significance', 'influences', 'Leadership-oriented', 0.8),
+             ('Connection', 'influences', 'Collaborative', 0.8)
+           ) t(subj_kind, pred, obj, confidence))
+         SELECT d.source AS customer_id,
+                'https://corpus.local/customers/' || d.source || '/doc_' || CAST(d.doc_id AS VARCHAR) || '.html' AS url,
+                CASE WHEN p.subj_kind = 'person'
+                     THEN upper(substr(d.source, 1, 1)) || substr(d.source, 2)
+                     ELSE p.subj_kind END AS subj,
+                p.pred AS pred, p.obj AS obj, p.confidence AS confidence
+         FROM documents d CROSS JOIN pat p"""
+  )
 }

@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection: word-shingling, MinHash signatures, LSH band
+  * candidate generation, exact n-gram Jaccard verification, and SimHash.
+  *
+  * Scale design: shingles/minhash/simhash are array Column expressions
+  * (narrow, codegen'd — no shuffle until the candidate join); LSH banding
+  * turns the O(n²) all-pairs problem into an equi-join on (band, signature),
+  * which Spark executes as a shuffled hash join keyed on a 32-char hash —
+  * uniform keys, no skew. Exact Jaccard runs only on LSH candidates.
+  * MinHash uses md5(shingle:seed) so signatures are engine-portable and
+  * deterministic (no JVM-specific hashing in results).
+  */
+object NearDup {
+
+  /** Word 3-gram shingles (distinct) from a text column; docs with <3 tokens
+    * yield an empty array.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** MinHash signature entry for one seed: min md5 over shingles. */
+  def minhashForSeed(shingleCol: Column, seed: Column): Column =
+    array_min(transform(shingleCol, s => md5(concat(s, lit(":"), seed.cast("string")))))
+
+  /** (doc_id, seed, minhash) rows for k seeds; docs w/o shingles omitted. */
+  def minhashSignatures(docs: DataFrame, k: Int = 8,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    docs.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
+      .select(col("doc_id"), col("seed").cast("long").as("seed"),
+        minhashForSeed(col("sh"), col("seed")).as("minhash"))
+  }
+
+  /** LSH bands: group `rowsPerBand` consecutive seeds into one band signature
+    * = md5 of the comma-joined minhashes in seed order.
+    */
+  def lshBands(signatures: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    signatures
+      .withColumn("band", (col("seed") / rowsPerBand).cast("long"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash")))).as("band_sig"))
+  }
+
+  /** Candidate pairs sharing at least one LSH band signature (d1 < d2). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("d1"))
+    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("d2"))
+    a.join(b, Seq("band", "band_sig"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2").distinct()
+  }
+
+  /** Exact shingle-set Jaccard over all pairs sharing ≥1 shingle (suitable
+    * below ~10⁶ docs; at scale restrict to `lshCandidates` first).
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ds = docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("shingle"))
+      .distinct()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ds.as("x").join(ds.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
+      .where(col("jaccard") > threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit, majority vote of token
+    * hashes (FNV-1a 64, deterministic across JVMs/engines). Plain Scala —
+    * used via typed map/mapPartitions; engine-side only (no SQL oracle).
+    */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      while (i < n && graft.text.PyText.isPySpace(text.charAt(i))) i += 1
+      var h = 0xcbf29ce484222325L // FNV offset basis
+      var any = false
+      while (i < n && !graft.text.PyText.isPySpace(text.charAt(i))) {
+        h = (h ^ (text.charAt(i) & 0xffL)) * 0x100000001b3L
+        any = true
+        i += 1
+      }
+      if (any) {
+        var b = 0
+        while (b < 64) { if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** DataFrame helper: (idCol, simhash) via typed map. */
+  def simhashDF(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhash64(if (text == null) "" else text)) }
+      .toDF(idCol, "simhash")
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k (baseline) and an
+  * LSH-bucketed approximate variant (scale path).
+  *
+  * Scale design: the query side is broadcast (top-k for Q queries against N
+  * vectors = one narrow pass over N, no shuffle of the big side); cosine is a
+  * sequential fold (`aggregate`/`zip_with`), fully codegen'd. The LSH variant
+  * prunes candidates by sign-hyperplane bucket equi-join: at 10⁹ vectors the
+  * bucket join replaces the N×Q cross product with |bucket|×Q partial scans.
+  */
+object Similarity {
+
+  /** Cast float embedding to double for portable arithmetic. */
+  def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for a set of query ids.
+    * Output: (query_id, neighbor_id, cos_sim rounded to 6dp, rank).
+    */
+  def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                     idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val base = embeddings.select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
+    val queries = embeddings
+      .where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("qid"), asDouble(col(embCol)).as("qemb"))
+    val scored = base.crossJoin(broadcast(queries))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane coefficient for (dim i, plane j) — portable
+    * (no RNG): +1 when (31·i + 17·j) is even.
+    */
+  private def coef(i: Column, j: Int): Column =
+    when(pmod(i * 31 + lit(j * 17), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-hyperplane LSH bucket id over `planes` pseudo-random hyperplanes:
+    * bit j = sign(Σ_i emb[i]·c(i,j)).
+    */
+  def lshBucket(emb: Column, planes: Int = 8): Column = {
+    val e = asDouble(emb)
+    (0 until planes).map { j =>
+      val s = aggregate(
+        zip_with(e, sequence(lit(0), size(e) - 1), (x, i) => x * coef(i, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates restricted to the query's LSH bucket
+    * (equi-join on bucket), then exact cosine rank within candidates.
+    */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5, planes: Int = 8,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val withBucket = embeddings.select(
+      col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"),
+      lshBucket(col(embCol), planes).as("bucket"))
+    val queries = withBucket.where(col("nid").isin(queryIds: _*))
+      .select(col("nid").as("qid"), col("nemb").as("qemb"), col("bucket"))
+    val scored = withBucket.join(broadcast(queries), Seq("bucket"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-statistics operators for large-scale training-data pipelines —
+  * token counting, quality scoring, language-ID, document fingerprinting,
+  * exact deduplication. All pure Column expressions (whole-stage codegen,
+  * no UDFs) so they vectorize and push through Catalyst unchanged at 100 TB.
+  */
+object TextOps {
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Normalized fingerprint — md5 of lowercase, whitespace-collapsed text
+    * (F7-style content identity generalized to documents).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Occurrences of a token with word boundaries via padded substring count
+    * (replace-based so the same non-overlapping semantics hold in any engine).
+    */
+  def tokenOccurrences(text: Column, token: String): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    val needle = s" $token "
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(needle), ""))) /
+      lit(needle.length)).cast("long")
+  }
+
+  /** Language-ID stopword vote tables (heuristic n-gram/stopword approach). */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to"),
+    "de" -> Seq("der", "die", "und", "nicht", "das"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "es" -> Seq("el", "los", "que", "y", "en"))
+
+  def langVotes(text: Column): Seq[(String, Column)] =
+    langStopwords.map { case (lang, words) =>
+      lang -> words.map(w => tokenOccurrences(text, w)).reduce(_ + _)
+    }
+
+  /** Guessed language: argmax of votes with fixed precedence order
+    * (en > de > fr > es), "und" (undetermined) when all zero.
+    */
+  def langGuess(text: Column): Column = {
+    val votes = langVotes(text)
+    val maxVote = greatest(votes.map(_._2): _*)
+    votes.foldRight(lit("und"): Column) { case ((lang, v), acc) =>
+      when(maxVote > 0 && v === maxVote, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Quality score ∈ [0,1]: 0.4·coverage(tokens/100) + 0.3·lexical diversity
+    * + 0.3·(1 − punctuation ratio). Length/punct/diversity ratios as in
+    * standard web-text quality filters.
+    */
+  def qualityScore(text: Column): Column = {
+    val t = tokenCount(text).cast("double")
+    val d = distinctTokenCount(text).cast("double")
+    val c = length(text).cast("double")
+    val p = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
+    round(
+      lit(0.4) * least(t / 100.0, lit(1.0)) +
+        lit(0.3) * when(t > 0, d / t).otherwise(0.0) +
+        lit(0.3) * (lit(1.0) - when(c > 0, p / c).otherwise(0.0)), 6)
+  }
+
+  /** Exact dedup: canonical doc per identical text = min doc_id of the
+    * md5(text) group (hash-groupBy; partial agg map-side, single shuffle
+    * on the 32-byte hash — minimal exchange at 100 TB).
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val h = docs.select(col(idCol), md5(col(textCol)).as("text_hash"))
+    val groups = h.groupBy("text_hash")
+      .agg(min(col(idCol)).as("canonical_doc_id"), count(lit(1)).as("group_size"))
+    h.join(groups, Seq("text_hash"))
+      .select(col(idCol), col("canonical_doc_id"),
+        (col(idCol) =!= col("canonical_doc_id")).as("is_duplicate"),
+        col("group_size"))
+  }
+}
