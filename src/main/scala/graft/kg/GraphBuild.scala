@@ -39,9 +39,11 @@ object GraphBuild {
     interviewIndicators.exists(p.contains(_))
   }
 
+  private val WsRun = "\\s+".r
+
   /** F5 — entity text cleaning (v2:600-618). */
   def cleanEntityText(text: String): String = {
-    var cleaned = "\\s+".r.replaceAllIn(PyText.strip(text), " ")
+    var cleaned = WsRun.replaceAllIn(PyText.strip(text), " ")
     for (prefix <- Seq("Mentioned ", "Discussed ", "Has ", "Shows "))
       if (cleaned.startsWith(prefix)) cleaned = cleaned.substring(prefix.length)
     if (cleaned.nonEmpty) cleaned = cleaned.head.toUpper + cleaned.tail

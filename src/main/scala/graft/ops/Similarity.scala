@@ -48,33 +48,42 @@ object Similarity {
   private def coef(i: Column, j: Int): Column =
     when(pmod(i * 31 + lit(j * 17), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
-  /** Sign-hyperplane LSH bucket id over `planes` pseudo-random hyperplanes:
-    * bit j = sign(Σ_i emb[i]·c(i,j)).
+  /** Sign-hyperplane LSH bucket id for one hash table: bit j =
+    * sign(Σ_i emb[i]·c(i, table·planes + j)).
     */
-  def lshBucket(emb: Column, planes: Int = 8): Column = {
+  def lshBucket(emb: Column, planes: Int, table: Int): Column = {
     val e = asDouble(emb)
     (0 until planes).map { j =>
       val s = aggregate(
-        zip_with(e, sequence(lit(0), size(e) - 1), (x, i) => x * coef(i, j)),
+        zip_with(e, sequence(lit(0), size(e) - 1), (x, i) => x * coef(i, table * planes + j)),
         lit(0.0), (acc, x) => acc + x)
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket
-    * (equi-join on bucket), then exact cosine rank within candidates.
+  /** Approximate top-k with standard multi-table LSH: `tables` independent
+    * hash tables of `planes` hyperplanes each; candidate set = union of the
+    * query's buckets across tables (explode → equi-join on (table, bucket) →
+    * distinct), then exact cosine rank within candidates. More tables →
+    * higher recall at linear candidate cost; at 10⁹ vectors each table join
+    * touches only |bucket| ≈ N/2^planes rows per query.
     */
-  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5, planes: Int = 8,
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+              planes: Int = 6, tables: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val withBucket = embeddings.select(
-      col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"),
-      lshBucket(col(embCol), planes).as("bucket"))
-    val queries = withBucket.where(col("nid").isin(queryIds: _*))
+    val bucketCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col(embCol), planes, t).as("b")).as(s"bk$t"))
+    val withBuckets = embeddings.select(
+      (Seq(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb")) :+
+        explode(array(bucketCols: _*)).as("bucket")): _*)
+    val q2 = withBuckets.where(col("nid").isin(queryIds: _*))
       .select(col("nid").as("qid"), col("nemb").as("qemb"), col("bucket"))
-    val scored = withBucket.join(broadcast(queries), Seq("bucket"))
+    val cand = withBuckets.join(broadcast(q2), Seq("bucket"))
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        round(cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
+      .select(col("qid"), col("nid"), col("qemb"), col("nemb"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand.select(col("qid"), col("nid"),
+      round(cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)

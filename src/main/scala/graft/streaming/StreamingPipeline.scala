@@ -1,0 +1,50 @@
+package graft.streaming
+
+import graft.kg.{GraphBuild, Pipeline}
+import graft.model.{Page, Triple}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming front-end for the KG pipeline (SURVEY §2.8).
+  *
+  * The reference has no streaming — each document arrives as one Step
+  * Functions execution. The Spark-native equivalent of "process whatever has
+  * landed, exactly once, then stop" is `Trigger.AvailableNow` over a file
+  * source: checkpointed offsets give the same resumability contract as the
+  * lineage table on the batch path, and the SAME per-document transform
+  * (Pipeline.buildDoc) runs inside the stream — narrow, stateless, so the
+  * micro-batch plan is identical to the batch plan.
+  *
+  * `eventCountsStream` shows the stateful side: watermarked tumbling-window
+  * counts (the A7/A13-style aggregates) over a streaming events table.
+  */
+object StreamingPipeline {
+
+  /** Stream pages from a parquet directory → append triples to outDir.
+    * Exactly-once via checkpoint; AvailableNow drains what exists and stops.
+    */
+  def triplesStream(spark: SparkSession, pagesDir: String, outDir: String,
+                    checkpointDir: String): StreamingQuery = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[Page].schema
+    val pages = spark.readStream.schema(schema).parquet(pagesDir).as[Page]
+    val triples: Dataset[Triple] =
+      pages.mapPartitions(_.map(Pipeline.buildDoc)).flatMap(g => GraphBuild.triples(g))
+    triples.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Watermarked tumbling-window event counts (stateful streaming agg):
+    * 1-hour windows, 2-hour watermark for late data.
+    */
+  def eventCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

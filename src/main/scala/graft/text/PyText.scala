@@ -96,13 +96,34 @@ object PyText {
     bd.toPlainString
   }
 
+  // MessageDigest.getInstance takes a JVM-global provider lock on JDK 17
+  // (JDK-7092821, only fixed in 18) — at 32 executor threads with ~20 hashes
+  // per document that lock serializes the whole narrow stage. Thread-local
+  // reusable digests keep the transform lock-free.
+  private val md5Local = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val sha256Local = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("SHA-256"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(i * 2) = HexChars((bytes(i) >> 4) & 0xf)
+      out(i * 2 + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = md5Local.get(); d.reset()
+    hex(d.digest(s.getBytes("UTF-8")))
   }
 
   def sha256Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("SHA-256")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = sha256Local.get(); d.reset()
+    hex(d.digest(s.getBytes("UTF-8")))
   }
 }

@@ -1,0 +1,66 @@
+package graft.kg
+
+import graft.SparkSpec
+import graft.corpus.Corpus
+
+/** Pipeline-level behaviors: resume idempotence (north rule), lineage and
+  * metrics consistency, canonical-id stability.
+  */
+class PipelineSpec extends SparkSpec {
+
+  test("resume after partial run yields identical final tables, no duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-resume").toString
+    val all = Corpus.pages(spark, 120, partitions = 4)
+
+    // full reference run into dirA
+    val dirA = s"$dir/full"
+    Pipeline.run(spark, all, "run1", dirA)
+    val refTriples = spark.read.parquet(s"$dirA/triples")
+      .select("url", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).sorted
+
+    // simulated kill-after-partition-k: first run only processes half
+    val dirB = s"$dir/resumed"
+    val firstHalf = all.filter(_.url.hashCode % 2 == 0)
+    Pipeline.run(spark, firstHalf, "run1", dirB)
+    // resume with the FULL page set — lineage anti-join must skip done urls
+    Pipeline.run(spark, all, "run2", dirB, resume = true)
+    val gotTriples = spark.read.parquet(s"$dirB/triples")
+      .select("url", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).sorted
+
+    assert(gotTriples.toSeq == refTriples.toSeq)
+    // no url processed twice in lineage
+    val lineageDupes = spark.read.parquet(s"$dirB/lineage")
+      .groupBy("url").count().where($"count" > 1).count()
+    assert(lineageDupes == 0)
+  }
+
+  test("metrics rows account for every processed doc") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    Pipeline.run(spark, Corpus.pages(spark, 100, partitions = 4), "mrun", dir)
+    val m = spark.read.parquet(s"$dir/metrics")
+    val docs = m.agg(org.apache.spark.sql.functions.sum("docs_processed")).collect()(0).getLong(0)
+    assert(docs == 100L)
+    val nodesFromMetrics = m.agg(org.apache.spark.sql.functions.sum("nodes_emitted")).collect()(0).getLong(0)
+    val nodesActual = spark.read.parquet(s"$dir/nodes").count()
+    assert(nodesFromMetrics == nodesActual)
+  }
+
+  test("canonical ids merge same-content entities across documents") {
+    import spark.implicits._
+    val result = Pipeline.run(spark, Corpus.pages(spark, 150, partitions = 4), "crun", "")
+    val nodes = result.nodes
+    // every (lower(content)) maps to exactly one canonical_id
+    val bad = nodes.groupBy(org.apache.spark.sql.functions.lower($"content"))
+      .agg(org.apache.spark.sql.functions.countDistinct($"canonical_id").as("k"))
+      .where($"k" > 1).count()
+    assert(bad == 0)
+    // and "Growth" (a need present in most docs) appears under one canonical id in many rows
+    val growth = nodes.where($"content" === "Growth")
+      .select($"canonical_id").distinct().count()
+    assert(growth == 1)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Training-data operator tests: dedup, near-dup, similarity, multimodal. */
+class OpsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "different", 4L -> "a b c")
+    val out = TextOps.exactDedup(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L, false, 3L), (2L, 1L, true, 3L), (3L, 3L, false, 1L), (4L, 1L, true, 3L)))
+  }
+
+  test("token stats and fingerprint") {
+    val d = docs(1L -> "  Hello   world  hello ", 2L -> "x")
+    val out = d.select(col("doc_id"), TextOps.tokenCount(col("text")).as("t"),
+      TextOps.distinctTokenCount(col("text")).as("d"),
+      TextOps.fingerprint(col("text")).as("f")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sortBy(_._1)
+    assert(out(0)._2 == 3 && out(0)._3 == 3) // Hello != hello before lowering in counts
+    assert(out(0)._4 == graft.text.PyText.md5Hex("hello world hello"))
+  }
+
+  test("minhash signatures identical for identical shingle sets, differ otherwise") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "z y x w v")
+    val sig = NearDup.minhashSignatures(d, k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val by = sig.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(by(1L) == by(2L))
+    assert(by(1L) != by(3L))
+    assert(by(1L).size == 4)
+  }
+
+  test("LSH candidates ⊇ high-jaccard pairs; verified jaccard exact") {
+    // 40-token docs where pairs (1,2) are near-identical, 3 unrelated
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"other$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val jac = NearDup.jaccardPairs(d, 0.8).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(jac.length == 1 && jac(0)._1 == 1L && jac(0)._2 == 2L)
+    assert(math.abs(jac(0)._3 - 37.0 / 39.0) < 1e-4) // 38∩? shingles: 37 common of 38+38
+    val cands = NearDup.lshCandidates(NearDup.lshBands(NearDup.minhashSignatures(d, 8), 4))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // near-dup pair should be a candidate via at least one band (high prob at jac 0.95)
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("simhash: identical texts equal, near texts close, distant texts far") {
+    val a = NearDup.simhash64("the quick brown fox jumps over the lazy dog")
+    val b = NearDup.simhash64("the quick brown fox jumps over the lazy cat")
+    val c = NearDup.simhash64("completely unrelated content about spark engines")
+    assert(a == NearDup.simhash64("the quick brown fox jumps over the lazy dog"))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(a, b) < ham(a, c))
+  }
+
+  test("brute-force cosine top-k: self excluded, ranks deterministic") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(emb, Seq(0L), k = 2).collect()
+      .map(r => (r.getLong(1), r.getInt(3))).toSeq.sortBy(_._2)
+    assert(out.map(_._1) == Seq(3L, 1L)) // closest to (1,0) is (1,0.05) then (0.9,0.1)
+  }
+
+  test("LSH top-k: candidates stay in-cluster; multi-table recall beats single-table") {
+    import spark.implicits._
+    // two tight clusters: neighbors of a query live in its own cluster
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 100).map { i =>
+      val base = if (i % 2 == 0) Array.fill(16)(1.0f) else Array.fill(16)(-1.0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.1f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 5).collect().map(_.getLong(1)).toSet
+    val lsh = Similarity.lshTopK(emb, Seq(0L), k = 5).collect().map(_.getLong(1)).toSet
+    assert(lsh.nonEmpty)
+    // correctness: every LSH neighbor is a true same-cluster neighbor
+    assert(lsh.forall(_ % 2 == 0), s"cross-cluster neighbor in $lsh")
+    assert(bf.forall(_ % 2 == 0))
+    // recall: multi-table union recovers a reasonable share of true top-k
+    val recall = (bf intersect lsh).size.toDouble / bf.size
+    assert(recall >= 0.4, s"LSH recall $recall too low; bf=$bf lsh=$lsh")
+  }
+
+  test("multimodal feature extraction: stub decode + corrupt payload path") {
+    import spark.implicits._
+    val media = Multimodal.syntheticMedia(spark, 100)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length == 100)
+    val corrupt = feats.filter(!_.valid)
+    assert(corrupt.nonEmpty && corrupt.forall(f => f.media_id % 17 == 0))
+    val valid = feats.filter(_.valid)
+    assert(valid.forall(f => f.width > 0 && f.height > 0 && f.n_bytes == 76))
+    // determinism
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(again.map(_.checksum).toSeq == feats.map(_.checksum).toSeq)
+  }
+
+  test("langid guess and votes") {
+    val d = docs(1L -> "the cat and the dog of a tree", 2L -> "der hund und die katze und das haus")
+    val out = d.select(col("doc_id"), TextOps.langGuess(col("text")).as("g")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "en" && out(2L) == "de")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.corpus.Corpus
+
+class StreamingSpec extends SparkSpec {
+
+  test("AvailableNow stream over pages produces the same triples as batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val pagesDir = s"$dir/pages"
+    Corpus.pages(spark, 60, partitions = 3).write.parquet(pagesDir)
+
+    val q = StreamingPipeline.triplesStream(spark, pagesDir, s"$dir/triples", s"$dir/ckpt")
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$dir/triples")
+      .select("url", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).sorted.toSeq
+    val batch = graft.kg.Pipeline.docGraphs(spark, Corpus.pages(spark, 60, partitions = 3))
+      .flatMap(g => graft.kg.GraphBuild.triples(g))
+      .select("url", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).sorted.toSeq
+    assert(streamed == batch && streamed.nonEmpty)
+
+    // restart with same checkpoint: no new data → no duplicate triples
+    val q2 = StreamingPipeline.triplesStream(spark, pagesDir, s"$dir/triples", s"$dir/ckpt")
+    q2.awaitTermination(120000)
+    val again = spark.read.parquet(s"$dir/triples").count()
+    assert(again == streamed.size.toLong)
+  }
+
+  test("watermarked windowed event counts run in a micro-batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev").toString
+    val rows = (0 until 100).map { i =>
+      (i.toLong, new java.sql.Timestamp(1726000000000L + i * 60000L),
+        (i % 5).toLong, if (i % 2 == 0) "click" else "view", i * 1.0)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value").write.parquet(s"$dir/events")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events").schema)
+      .parquet(s"$dir/events")
+    val q = StreamingPipeline.eventCountsStream(stream)
+      .writeStream.format("memory").queryName("evcounts")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // append mode emits only windows below the watermark; with a 100-minute
+    // spread and 2h watermark nothing finalizes — verify via complete mode
+    val q2 = StreamingPipeline.eventCountsStream(stream)
+      .writeStream.format("memory").queryName("evcounts2")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val out = spark.sql("select * from evcounts2").collect()
+    assert(out.length == 6) // events span 3 hourly windows × 2 event types
+    assert(out.map(_.getAs[Long]("n")).sum == 100L)
+  }
+}
