@@ -202,6 +202,64 @@ object SparkEntry {
     // ---------------- KG pipeline end-to-end (flagship)
     "q25_kg_pipeline_triples" -> ((s, dir) => kgPipelineTriples(s, dir)),
 
+    // ---------------- additional operator coverage (SURVEY §2)
+    "q29_needs_keyword_scores" -> ((s, dir) => {
+      // A8 — the needs keyword scorer as pure Column arithmetic over documents
+      val d = t(s, dir, "documents")
+      val text = lower(col("text"))
+      val wc = TextOps.tokenCount(col("text")).cast("double")
+      val cols = graft.needs.Needs.needOrder.map { need =>
+        val (kws, phrases, clues) = graft.needs.Needs.indicators(need)
+        val kwMatches = kws.map(k => TextOps.substrOccurrences(text, k)).reduce(_ + _).cast("double")
+        val kwScore = least(kwMatches / greatest(wc / 100.0, lit(1.0)), lit(1.0)) * 0.4
+        val phMatches = phrases.map(p => when(text.contains(p), 1).otherwise(0)).reduce(_ + _).cast("double")
+        val phScore = least(phMatches / phrases.size, lit(1.0)) * 0.3
+        val clMatches = clues.map(c => when(text.contains(c), 1).otherwise(0)).reduce(_ + _).cast("double")
+        val clScore = least(clMatches / clues.size, lit(1.0)) * 0.3
+        round(least(kwScore + phScore + clScore, lit(1.0)), 6).as(s"${need}_score")
+      }
+      d.select(col("doc_id") +: cols: _*)
+    }),
+
+    "q30_argmax_dedup" -> ((s, dir) => {
+      // A11/A12 pattern — keep-max row per group with deterministic tie-break
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("value").desc, col("event_id").asc)
+      t(s, dir, "events").withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    }),
+
+    "q31_cooccurrence" -> ((s, dir) => {
+      // J7 — token-distance co-occurrence strength (v1 proximity join)
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+      val a = toks.where(col("tok") === "spark").select(col("doc_id"), col("pos").as("pa"))
+      val b = toks.where(col("tok") === "data").select(col("doc_id"), col("pos").as("pb"))
+      a.join(b, Seq("doc_id"))
+        .groupBy(col("doc_id")).agg(min(abs(col("pa") - col("pb"))).cast("long").as("min_dist"))
+        .withColumn("strength",
+          when(col("min_dist") <= 5, 0.9).when(col("min_dist") <= 20, 0.7)
+            .when(col("min_dist") <= 50, 0.5).otherwise(0.3))
+        .where(col("strength") > 0.4)
+    }),
+
+    "q32_ordered_caps" -> ((s, dir) => {
+      // W4 — order-preserving per-list caps (first 5 tokens, source order)
+      t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos0", "tok")))
+        .where(col("pos0") < 5)
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+    }),
+
+    "q33_graph_metrics" -> ((s, dir) => {
+      // A2/A6/W7 — per-customer triple metrics incl. the lexicographic-max quirk
+      kgPipelineTriples(s, dir).groupBy(col("customer_id")).agg(
+        count(lit(1)).as("total_triples"),
+        round(avg(col("confidence")), 6).as("avg_confidence"),
+        countDistinct(col("pred")).as("n_preds"),
+        max(col("pred")).as("most_common_relationship"))
+    }),
+
     // ---------------- rows-only checks (not SQL-expressible in the oracle)
     "q24_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), queryIds = 0L until 8L, k = 5)
@@ -439,6 +497,58 @@ object SparkEntry {
                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
          r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk FROM s)
          SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5""",
+
+    "q29_needs_keyword_scores" -> {
+      val wc = "CAST(len(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS DOUBLE)"
+      def occ(k: String) =
+        s"CAST((length(lower(text)) - length(replace(lower(text), '$k', ''))) / ${k.length} AS DOUBLE)"
+      val cols = graft.needs.Needs.needOrder.map { need =>
+        val (kws, phrases, clues) = graft.needs.Needs.indicators(need)
+        val kw = kws.map(occ).mkString(" + ")
+        val ph = phrases.map(p => s"(CASE WHEN contains(lower(text), '$p') THEN 1 ELSE 0 END)").mkString(" + ")
+        val cl = clues.map(c => s"(CASE WHEN contains(lower(text), '$c') THEN 1 ELSE 0 END)").mkString(" + ")
+        s"round(least(least(($kw) / greatest($wc / 100.0, 1.0), 1.0) * 0.4" +
+          s" + least(CAST($ph AS DOUBLE) / ${phrases.size}, 1.0) * 0.3" +
+          s" + least(CAST($cl AS DOUBLE) / ${clues.size}, 1.0) * 0.3, 1.0), 6) AS ${need}_score"
+      }
+      s"SELECT doc_id, ${cols.mkString(", ")} FROM documents"
+    },
+
+    "q30_argmax_dedup" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+             ORDER BY value DESC, event_id ASC) AS rn FROM events) q
+         WHERE rn = 1""",
+
+    "q31_cooccurrence" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         d AS (SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS min_dist
+               FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+               WHERE a.tok = 'spark' AND b.tok = 'data' GROUP BY 1)
+         SELECT doc_id, min_dist,
+                CASE WHEN min_dist <= 5 THEN 0.9 WHEN min_dist <= 20 THEN 0.7
+                     WHEN min_dist <= 50 THEN 0.5 ELSE 0.3 END AS strength
+         FROM d WHERE (CASE WHEN min_dist <= 5 THEN 0.9 WHEN min_dist <= 20 THEN 0.7
+                     WHEN min_dist <= 50 THEN 0.5 ELSE 0.3 END) > 0.4""",
+
+    "q32_ordered_caps" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk)
+         SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM toks WHERE pos <= 5""",
+
+    "q33_graph_metrics" ->
+      """WITH pat AS (
+           SELECT * FROM (VALUES
+             ('demonstrates', 0.8), ('demonstrates', 0.6), ('demonstrates', 0.7),
+             ('influences', 0.8), ('influences', 0.8)) t(pred, confidence)),
+         trip AS (SELECT d.source AS customer_id, p.pred, p.confidence
+                  FROM documents d CROSS JOIN pat p)
+         SELECT customer_id, count(*) AS total_triples,
+                round(avg(confidence), 6) AS avg_confidence,
+                count(DISTINCT pred) AS n_preds,
+                max(pred) AS most_common_relationship
+         FROM trip GROUP BY 1""",
 
     "q25_kg_pipeline_triples" ->
       """WITH pat AS (

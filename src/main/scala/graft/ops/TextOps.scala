@@ -35,6 +35,13 @@ object TextOps {
       lit(needle.length)).cast("long")
   }
 
+  /** Non-overlapping substring occurrence count (Python str.count semantics —
+    * the reference's A8 keyword matching counts substrings, not tokens).
+    */
+  def substrOccurrences(text: Column, needle: String): Column =
+    ((length(text) - length(regexp_replace(text, java.util.regex.Pattern.quote(needle), ""))) /
+      lit(needle.length)).cast("long")
+
   /** Language-ID stopword vote tables (heuristic n-gram/stopword approach). */
   val langStopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to"),

@@ -49,6 +49,31 @@ class PipelineSpec extends SparkSpec {
     assert(nodesFromMetrics == nodesActual)
   }
 
+  test("alias dictionary merges entity variants across documents (J10 + link)") {
+    import spark.implicits._
+    import graft.model.Page
+    import graft.text.TextExtract
+    def page(cid: String, name: String, body: String): Page =
+      Page(s"https://x.org/customers/$cid/interview_$name.html",
+        new java.sql.Timestamp(0L), TextExtract.wrapHtml(body, name), body, "en")
+    val pages = Seq(
+      page("10_a_b", "a", "Host One: Intel Corporation is big.\nGuest Two: yes."),
+      page("11_c_d", "b", "Host One: Intel ships chips.\nGuest Two: indeed.")).toDS()
+    val aliases = Seq(("Intel", "Intel Corporation")).toDF("alias", "canonical")
+    val res = Pipeline.run(spark, pages, "arun", "", aliases = Some(aliases))
+    val intelIds = res.nodes
+      .where(org.apache.spark.sql.functions.lower($"content")
+        .isin("intel", "intel corporation"))
+      .select("canonical_id").distinct().collect()
+    assert(intelIds.length == 1, s"expected one canonical id, got ${intelIds.mkString(",")}")
+    // distinct surfaces keep distinct node ids but share the canonical id
+    val nodeIds = res.nodes
+      .where(org.apache.spark.sql.functions.lower($"content")
+        .isin("intel", "intel corporation"))
+      .select("node_id").distinct().count()
+    assert(nodeIds == 2)
+  }
+
   test("canonical ids merge same-content entities across documents") {
     import spark.implicits._
     val result = Pipeline.run(spark, Corpus.pages(spark, 150, partitions = 4), "crun", "")
