@@ -1,0 +1,52 @@
+package graft.kg
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class GraphQueriesSpec extends SparkSpec {
+
+  private def fixture() = {
+    import spark.implicits._
+    val nodes = Seq(
+      ("n1", "c1", "Alice", "person", 0.9),
+      ("n2", "c1", "Growth", "need", 0.7),
+      ("n3", "c1", "Planner", "behavioral_pattern", 0.8),
+      ("n4", "c2", "Bob", "person", 0.6))
+      .toDF("node_id", "customer_id", "content", "node_type", "confidence")
+    val edges = Seq(
+      ("e1", "c1", "n1", "n2", "demonstrates", 0.7),
+      ("e2", "c1", "n2", "n3", "influences", 0.8),
+      ("e3", "c2", "n4", "n1", "relates_to", 0.5)) // n1 belongs to c1 → dropped by semi-join
+      .toDF("edge_id", "customer_id", "source_node_id", "target_node_id", "relationship_type", "weight")
+    (nodes, edges)
+  }
+
+  test("customer edges require BOTH endpoints in the customer subgraph (J8)") {
+    val (n, e) = fixture()
+    assert(GraphQueries.customerEdges(n, e, "c1").count() == 2)
+    assert(GraphQueries.customerEdges(n, e, "c2").count() == 0) // n1 is c1's
+  }
+
+  test("graph metrics: density, quality score (A3/A4), W7 quirk") {
+    val (n, e) = fixture()
+    val m = GraphQueries.graphMetrics(n, e).where(col("customer_id") === "c1").collect()(0)
+    assert(m.getAs[Long]("total_nodes") == 3)
+    assert(m.getAs[Long]("total_edges") == 2)
+    val avgNode = (0.9 + 0.7 + 0.8) / 3
+    val avgEdge = (0.7 + 0.8) / 2
+    assert(math.abs(m.getAs[Double]("avg_node_confidence") - avgNode) < 1e-9)
+    assert(math.abs(m.getAs[Double]("graph_density") - 2.0 / (3 * 2)) < 1e-9)
+    // W7: lexicographic max of {demonstrates, influences} = influences
+    assert(m.getAs[String]("most_common_relationship") == "influences")
+    val quality = 0.3 * avgNode + 0.3 * avgEdge + 0.2 * math.min(3 / 6.0, 1.0) + 0.2 * math.min(2 / 5.0, 1.0)
+    assert(math.abs(m.getAs[Double]("quality_score") - quality) < 1e-9)
+  }
+
+  test("central entities: degree ranking with deterministic ties (W2/A5)") {
+    val (n, e) = fixture()
+    val top = GraphQueries.centralEntities(n, e, 2).collect()
+      .map(r => (r.getAs[String]("node_id"), r.getAs[Long]("degree")))
+    // degrees: n1=2 (e1 src, e3 dst), n2=2, n3=1, n4=1 → tie broken by node_id
+    assert(top.toSeq == Seq(("n1", 2L), ("n2", 2L)))
+  }
+}
