@@ -32,9 +32,16 @@ object Pipeline {
       docs_processed: Long,
       nodes_emitted: Long,
       edges_emitted: Long,
+      triples_emitted: Long,
       duration_ms: Long)
 
   final case class LineageRow(run_id: String, partition_id: Int, url: String, status: String)
+
+  /** One mention row per extracted raw entity (feeds optional entity linking). */
+  final case class MentionRow(url: String, idx: Int, surface: String, entity_type: String, context: String)
+
+  /** Per-doc output: the graph plus the doc's mentions (for the link stage). */
+  final case class DocOut(graph: DocGraph, mentions: Seq[MentionRow])
 
   /** The fused per-document transform — SURVEY §3.2's pure function. */
   def buildDoc(p: Page): DocGraph = {
@@ -53,20 +60,35 @@ object Pipeline {
     pages.mapPartitions(_.map(buildDoc))
   }
 
-  /** Same, but also emits (graph, partitionId) so lineage/metrics can be
-    * derived without a second pass over the input.
+  /** Variant keeping the NER mentions (context = leading 400 chars). */
+  def buildDocOut(p: Page): DocOut = {
+    val doc = DocAnalyze.analyze(p)
+    val needs = Needs.profile(doc)
+    val g = GraphBuild.build(doc, needs)
+    val ctx = doc.text.take(400)
+    DocOut(g, doc.entities.zipWithIndex.map { case (e, i) =>
+      MentionRow(doc.url, i, e.text, e.entityType, ctx)
+    })
+  }
+
+  /** Same, plus partition id and per-doc build nanos so lineage and metrics
+    * (incl. durations, north rule) derive without a second input pass.
     */
-  def docGraphsWithPartition(spark: SparkSession, pages: Dataset[Page]): Dataset[(DocGraph, Int)] = {
+  def docGraphsWithPartition(spark: SparkSession, pages: Dataset[Page]): Dataset[(DocOut, Int, Long)] = {
     import spark.implicits._
     pages.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      it.map(p => (buildDoc(p), pid))
+      it.map { p =>
+        val t0 = System.nanoTime()
+        val out = buildDocOut(p)
+        (out, pid, System.nanoTime() - t0)
+      }
     }
   }
 
   final case class RunResult(
       nodes: DataFrame, edges: DataFrame, triples: DataFrame,
-      metrics: DataFrame, lineage: DataFrame)
+      metrics: DataFrame, lineage: DataFrame, linkMetrics: Option[DataFrame] = None)
 
   /** Full run. If outDir is non-empty, writes all tables (parquet, partitioned)
     * and supports resume: pages already present in `<outDir>/lineage` with
@@ -74,7 +96,8 @@ object Pipeline {
     */
   def run(spark: SparkSession, pages: Dataset[Page], runId: String,
           outDir: String = "", resume: Boolean = false,
-          aliases: Option[DataFrame] = None): RunResult = {
+          aliases: Option[DataFrame] = None,
+          kb: Option[DataFrame] = None): RunResult = {
     import spark.implicits._
 
     val todo: Dataset[Page] =
@@ -88,17 +111,19 @@ object Pipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- flat node/edge/triple tables (narrow explodes)
-    val nodeRows = graphs.flatMap { case (g, _) =>
+    val nodeRows = graphs.flatMap { case (o, _, _) =>
+      val g = o.graph
       g.nodes.map(n => (g.customerId, g.url, n.id, n.content, n.nodeType, n.confidence, n.source))
     }.toDF("customer_id", "url", "node_id", "content", "node_type", "confidence", "source_file")
 
-    val edgeRows = graphs.flatMap { case (g, _) =>
+    val edgeRows = graphs.flatMap { case (o, _, _) =>
+      val g = o.graph
       g.edges.map(e => (g.customerId, g.url, e.id, e.srcId, e.dstId, e.edgeType, e.confidence,
         e.evidence, e.reasoning))
     }.toDF("customer_id", "url", "edge_id", "source_node_id", "target_node_id",
       "relationship_type", "weight", "evidence", "reasoning")
 
-    val tripleRows = graphs.flatMap { case (g, _) => GraphBuild.triples(g) }.toDF()
+    val tripleRows = graphs.flatMap { case (o, _, _) => GraphBuild.triples(o.graph) }.toDF()
 
     // ---- canonicalization (J10): merge same-key entities across documents;
     // alias dictionary optional. Canonical id = persisted sha256 id of the
@@ -114,15 +139,34 @@ object Pipeline {
         concat(lit("canon_"), substring(sha2($"canonical_key", 256), 1, 16)))
       .drop("key", "canonical_key")
 
-    // ---- per-partition metrics + lineage (north rule)
-    val metrics = graphs.map { case (g, pid) =>
-      PartitionMetric(runId, "graph_build", pid, 1L, g.nodes.size.toLong, g.edges.size.toLong, 0L)
+    // ---- per-partition metrics + lineage (north rule: docs processed,
+    // triples emitted, durations — and link-score distribution below)
+    val metrics = graphs.map { case (o, pid, nanos) =>
+      val g = o.graph
+      PartitionMetric(runId, "graph_build", pid, 1L, g.nodes.size.toLong,
+        g.edges.size.toLong, g.edges.size.toLong, nanos / 1000000L)
     }.groupBy($"run_id", $"stage", $"partition_id")
       .agg(sum($"docs_processed").as("docs_processed"),
         sum($"nodes_emitted").as("nodes_emitted"),
-        sum($"edges_emitted").as("edges_emitted"))
+        sum($"edges_emitted").as("edges_emitted"),
+        sum($"triples_emitted").as("triples_emitted"),
+        sum($"duration_ms").as("duration_ms"))
 
-    val lineage = graphs.map { case (g, pid) => LineageRow(runId, pid, g.url, "done") }.toDF()
+    val lineage = graphs.map { case (o, pid, _) => LineageRow(runId, pid, o.graph.url, "done") }.toDF()
+
+    // ---- optional entity-linking stage: alias-KB broadcast join + context
+    // scoring; per-partition link-score histogram (north-rule metric)
+    val linkMetrics = kb.map { kbDf =>
+      val mentionRows = graphs.flatMap { case (o, pid, _) =>
+        o.mentions.map(m => (s"${m.url}#${m.idx}", m.url, m.surface, m.entity_type, m.context, pid))
+      }.toDF("mention_id", "url", "surface", "entity_type", "context", "partition_id")
+      val linked = graft.link.EntityLink.link(mentionRows, kbDf)
+      linked.groupBy($"partition_id",
+        when($"link_score".isNull, lit("unlinked"))
+          .otherwise(format_string("%.1f", floor($"link_score" * 10) / 10)).as("score_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("run_id", lit(runId))
+    }
 
     if (outDir.nonEmpty) {
       canonNodes.write.mode(SaveMode.Append).partitionBy("node_type").parquet(s"$outDir/nodes")
@@ -130,9 +174,10 @@ object Pipeline {
       tripleRows.write.mode(SaveMode.Append).parquet(s"$outDir/triples")
       metrics.write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
       lineage.write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
+      linkMetrics.foreach(_.write.mode(SaveMode.Append).parquet(s"$outDir/link_metrics"))
     }
     graphs.unpersist()
-    RunResult(canonNodes, edgeRows, tripleRows, metrics, lineage)
+    RunResult(canonNodes, edgeRows, tripleRows, metrics, lineage, linkMetrics)
   }
 
   /** Persisted-id helpers (F8 — graph_extraction_agent.py:510-531). */

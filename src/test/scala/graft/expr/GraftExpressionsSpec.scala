@@ -1,0 +1,56 @@
+package graft.expr
+
+import graft.SparkSpec
+import graft.corpus.Corpus
+import graft.text.TextExtract
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst expressions: eval + codegen parity with the Scala
+  * functions, SQL registration, and codegen-span check.
+  */
+class GraftExpressionsSpec extends SparkSpec {
+
+  test("extract_text expression matches the Scala function on all fixture variants") {
+    import spark.implicits._
+    val pages = (0L until 100L).map(Corpus.genPage(_)).toDS()
+    val viaExpr = pages.select($"url", GraftExpressions.extract_text($"html").as("t"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val viaFn = (0L until 100L).map { i =>
+      val p = Corpus.genPage(i); p.url -> TextExtract.extractText(p.html)
+    }.toMap
+    assert(viaExpr == viaFn)
+  }
+
+  test("SQL registration: graft_extract_text usable from spark.sql") {
+    import spark.implicits._
+    GraftExpressions.register(spark)
+    (0L until 10L).map(Corpus.genPage(_)).toDS().createOrReplaceTempView("pages_v")
+    val out = spark.sql(
+      "SELECT url, graft_extract_text(html) AS text, graft_front_matter_strip(text) AS t2 FROM pages_v")
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(r => r.getString(1) == r.getString(2))) // html path ≡ text-column path
+  }
+
+  test("expression participates in whole-stage codegen (no CodegenFallback)") {
+    import spark.implicits._
+    val df = Corpus.pages(spark, 5, partitions = 1)
+      .select(GraftExpressions.extract_text($"html").as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    assert(plan.linesIterator.exists(l => l.contains("graft_extract_text") && l.trim.startsWith("*(")),
+      s"expression not inside a codegen stage:\n$plan")
+    // force evaluation through the codegen path
+    assert(df.where(length($"t") >= 0).count() == 5)
+  }
+
+  test("type checking rejects wrong input types") {
+    import spark.implicits._
+    val df = Seq(1, 2).toDF("x")
+    val err = intercept[Exception] {
+      df.select(GraftExpressions.extract_text($"x")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("binary") ||
+      err.getMessage.contains("graft_extract_text"))
+  }
+}

@@ -74,6 +74,23 @@ class PipelineSpec extends SparkSpec {
     assert(nodeIds == 2)
   }
 
+  test("per-partition metrics carry durations; kb stage emits link-score histogram") {
+    import spark.implicits._
+    val kb = Seq(
+      ("KB1", "Intel Corporation", Seq("Intel"), "chips manufacturing technology", 0.9))
+      .toDF("entity_id", "canonical_name", "aliases", "profile", "prior")
+    val res = Pipeline.run(spark, Corpus.pages(spark, 100, partitions = 4), "lrun", "",
+      kb = Some(kb))
+    val m = res.metrics.collect()
+    assert(m.nonEmpty && m.forall(_.getAs[Long]("duration_ms") >= 0))
+    assert(m.map(_.getAs[Long]("triples_emitted")).sum > 0)
+    val lm = res.linkMetrics.get.collect()
+    val buckets = lm.map(_.getAs[String]("score_bucket")).toSet
+    assert(buckets.contains("unlinked"))
+    assert(buckets.exists(_ != "unlinked"), s"no linked mentions in $buckets") // hub 'Intel' links
+    assert(lm.map(_.getAs[Long]("n")).sum > 0)
+  }
+
   test("canonical ids merge same-content entities across documents") {
     import spark.implicits._
     val result = Pipeline.run(spark, Corpus.pages(spark, 150, partitions = 4), "crun", "")
