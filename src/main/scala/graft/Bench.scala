@@ -81,8 +81,8 @@ object Bench {
     // N=4 and 4N=16 cores. 4/16 rather than 8/32 because this box has 16
     // physical cores + SMT: 8→32 is capped near 2.9× by hardware even for a
     // pure spin loop, while 4→16 stays on physical cores.
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "600000").toLong
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "4").toInt
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "3").toInt
     val (tLo, tHi) = kgScaling(4, 16, scaleDocs, repeats)
     val efficiency = (tLo / tHi) / 4.0
 

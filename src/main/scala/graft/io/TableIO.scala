@@ -1,0 +1,71 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Table I/O seam (SURVEY §7.0): the engine targets Iceberg-style
+  * catalog-managed tables, but no Iceberg runtime jar exists in this
+  * environment — so the default implementation is partitioned Parquet under
+  * a warehouse directory, and a real Iceberg catalog is a config swap
+  * (`spark.sql.catalog.* = org.apache.iceberg.spark.SparkCatalog`) plus an
+  * `IcebergTableIO` that appends via `writeTo(table).append()`.
+  * All pipeline writes/reads go through this trait; nothing else in the
+  * engine knows the storage format.
+  */
+trait TableIO {
+  def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
+  def read(spark: SparkSession, table: String): DataFrame
+  def exists(table: String): Boolean
+}
+
+/** Parquet-under-warehouse implementation (the environment default). */
+final class ParquetTableIO(warehouse: String) extends TableIO {
+  private def path(table: String) = s"$warehouse/$table"
+
+  override def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
+  }
+
+  override def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(path(table))
+
+  override def exists(table: String): Boolean =
+    new java.io.File(path(table)).exists()
+}
+
+/** Exports (SURVEY §2.1 S11 — neptune_customer_graph_reader.py:376-440):
+  * per-customer nodes/edges as CSV or JSON plus a driver-side text summary.
+  */
+object Exports {
+  def exportCustomer(nodes: DataFrame, edges: DataFrame, customerId: String,
+                     outDir: String, format: String = "json"): Unit = {
+    import org.apache.spark.sql.functions._
+    val n = nodes.where(col("customer_id") === customerId)
+    val e = edges.where(col("customer_id") === customerId)
+    format match {
+      case "csv" =>
+        // CSV cannot carry arrays — stringify evidence like the reference's
+        // pandas to_csv did
+        n.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$outDir/nodes_csv")
+        e.withColumn("evidence", concat_ws("|", col("evidence")))
+          .write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$outDir/edges_csv")
+      case _ =>
+        n.write.mode(SaveMode.Overwrite).json(s"$outDir/nodes_json")
+        e.write.mode(SaveMode.Overwrite).json(s"$outDir/edges_json")
+    }
+  }
+
+  /** Small text summary collected to the driver (type histograms). */
+  def summary(nodes: DataFrame, edges: DataFrame, customerId: String): String = {
+    import org.apache.spark.sql.functions._
+    val nh = nodes.where(col("customer_id") === customerId)
+      .groupBy("node_type").count().orderBy(desc("count"), asc("node_type")).collect()
+    val eh = edges.where(col("customer_id") === customerId)
+      .groupBy("relationship_type").count().orderBy(desc("count"), asc("relationship_type")).collect()
+    val sb = new StringBuilder(s"customer: $customerId\nnodes:\n")
+    nh.foreach(r => sb.append(s"  ${r.get(0)}: ${r.get(1)}\n"))
+    sb.append("edges:\n")
+    eh.foreach(r => sb.append(s"  ${r.get(0)}: ${r.get(1)}\n"))
+    sb.toString
+  }
+}

@@ -100,9 +100,10 @@ object Pipeline {
           kb: Option[DataFrame] = None): RunResult = {
     import spark.implicits._
 
+    val tio: graft.io.TableIO = new graft.io.ParquetTableIO(outDir)
     val todo: Dataset[Page] =
-      if (resume && outDir.nonEmpty && new java.io.File(s"$outDir/lineage").exists()) {
-        val done = spark.read.parquet(s"$outDir/lineage")
+      if (resume && outDir.nonEmpty && tio.exists("lineage")) {
+        val done = tio.read(spark, "lineage")
           .where($"status" === "done").select($"url").distinct()
         pages.join(done, Seq("url"), "left_anti").as[Page]
       } else pages
@@ -169,12 +170,13 @@ object Pipeline {
     }
 
     if (outDir.nonEmpty) {
-      canonNodes.write.mode(SaveMode.Append).partitionBy("node_type").parquet(s"$outDir/nodes")
-      edgeRows.write.mode(SaveMode.Append).parquet(s"$outDir/edges")
-      tripleRows.write.mode(SaveMode.Append).parquet(s"$outDir/triples")
-      metrics.write.mode(SaveMode.Append).parquet(s"$outDir/metrics")
-      lineage.write.mode(SaveMode.Append).parquet(s"$outDir/lineage")
-      linkMetrics.foreach(_.write.mode(SaveMode.Append).parquet(s"$outDir/link_metrics"))
+      // all writes go through the TableIO seam (Iceberg-ready, SURVEY §7.0)
+      tio.append(canonNodes, "nodes", Seq("node_type"))
+      tio.append(edgeRows, "edges")
+      tio.append(tripleRows, "triples")
+      tio.append(metrics, "metrics")
+      tio.append(lineage, "lineage")
+      linkMetrics.foreach(tio.append(_, "link_metrics"))
     }
     graphs.unpersist()
     RunResult(canonNodes, edgeRows, tripleRows, metrics, lineage, linkMetrics)
