@@ -83,6 +83,31 @@ object NearDup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Scale-path near-dup detection: exact Jaccard verification restricted to
+    * LSH candidate pairs — the all-pairs shingle join (`jaccardPairs`) becomes
+    * a candidate-driven semi-join, turning O(n²) verification into
+    * O(|candidates|). This is the 100 TB shape; `jaccardPairs` stays as the
+    * exhaustive small-scale oracle.
+    */
+  def lshVerifiedPairs(docs: DataFrame, threshold: Double, k: Int = 8, rowsPerBand: Int = 4,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cands = lshCandidates(lshBands(minhashSignatures(docs, k, idCol, textCol), rowsPerBand))
+    val ds = docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("shingle"))
+      .distinct()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // equi-join keys (d1) then (d2, shingle): hash joins, no per-pair cross
+    val inter = cands
+      .join(ds.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(ds.withColumnRenamed("doc_id", "d2"), Seq("d2", "shingle"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
+      .where(col("jaccard") > threshold)
+      .select("d1", "d2", "jaccard")
+  }
+
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of token
     * hashes (FNV-1a 64, deterministic across JVMs/engines). Plain Scala —
     * used via typed map/mapPartitions; engine-side only (no SQL oracle).

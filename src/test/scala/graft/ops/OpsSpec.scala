@@ -54,6 +54,20 @@ class OpsSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("lshVerifiedPairs (scale path) finds the near-dup pairs exact jaccard finds") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val exact = NearDup.jaccardPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaLsh = NearDup.lshVerifiedPairs(docs, 0.8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaLsh.subsetOf(exact)) // verification is exact → no false positives
+    assert(exact.nonEmpty)
+    // at jaccard>0.8 the 2×4-band LSH recall should be near-total here
+    val recall = viaLsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall: missed ${exact -- viaLsh}")
+  }
+
   test("simhash: identical texts equal, near texts close, distant texts far") {
     val a = NearDup.simhash64("the quick brown fox jumps over the lazy dog")
     val b = NearDup.simhash64("the quick brown fox jumps over the lazy cat")
