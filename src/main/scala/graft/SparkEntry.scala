@@ -267,6 +267,9 @@ object SparkEntry {
 
     "q26_simhash" -> ((s, dir) => NearDup.simhashDF(t(s, dir, "documents"))),
 
+    "q34_neardup_lsh_verified" -> ((s, dir) =>
+      NearDup.lshVerifiedPairs(t(s, dir, "documents"), 0.8)),
+
     "q27_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       Multimodal.featureSummary(
