@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 /** Triple-parity harness (north rule: P/R ≥ 0.95 vs the reference).
   *
-  * The golden fixtures in test-oracle/expected_200.jsonl were produced by
+  * The golden fixtures in test-oracle/expected_500.jsonl were produced by
   * running the reference's OWN Python code (offline, deterministic fallbacks)
   * over the identical synthetic corpus — see test-oracle/run_reference.py.
   * Comparison normalizes (lower(subj), pred, lower(obj)) and excludes
@@ -22,7 +22,7 @@ class ParitySpec extends SparkSpec {
 
   private def loadExpected(): Map[String, Expected] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    Files.readAllLines(Paths.get("test-oracle/expected_200.jsonl")).asScala
+    Files.readAllLines(Paths.get("test-oracle/expected_500.jsonl")).asScala
       .filter(_.nonEmpty).map { line =>
         val n = mapper.readTree(line)
         val nodes = n.get("nodes").elements().asScala.map { x =>
@@ -40,11 +40,11 @@ class ParitySpec extends SparkSpec {
       }.toMap
   }
 
-  test("byte-identical extraction + triple P/R == 1.0 vs reference on 200 docs") {
+  test("byte-identical extraction + triple P/R == 1.0 vs reference on 500 docs") {
     val expected = loadExpected()
-    assert(expected.size == 200)
+    assert(expected.size == 500)
 
-    val results = (0L until 200L).map { i =>
+    val results = (0L until 500L).map { i =>
       val p = Corpus.genPage(i, 42L)
       val doc = graft.analyze.DocAnalyze.analyze(p)
       val needs = graft.needs.Needs.profile(doc)
