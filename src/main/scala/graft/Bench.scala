@@ -6,9 +6,13 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): prints ONE JSON line with per-query
   * seconds on SPARK_GRAFT_SF_DIR plus the north-rule scaling evidence —
-  * the same KG-pipeline job at two parallelism levels (local[8] vs
-  * local[32], the sandbox stand-in for N vs 4N executors) with docs/sec at
+  * the same KG-pipeline job at two parallelism levels (local[4] vs
+  * local[16], the sandbox stand-in for N vs 4N executors) with docs/sec at
   * both and efficiency = (T_N / T_4N) / 4 (target ≥ 0.8).
+  *
+  * The JSON line is also written to SPARK_GRAFT_BENCH_OUT
+  * (default /root/repo/BENCH_OUT.json) so the artifact survives any
+  * stdout-prefixing by the launcher.
   */
 object Bench {
 
@@ -36,13 +40,10 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** Best-of-repeats throughput at two parallelism levels, interleaved.
-    * The sandbox host has heavy, bursty CPU steal (4-thread wall times for
-    * identical work observed from 8 s to 150 s); interleaving N/4N runs and
-    * taking the per-level minimum measures the machine, not the noise.
-    */
   /** Multi-thread spin probe: wall seconds for a fixed amount of work spread
     * over `threads` threads — measures currently-available parallel CPU.
+    * The host shows heavy bursty CPU steal (identical 4-thread jobs observed
+    * 8 s to 150 s wall); the probe lets samples be gated on a quiet box.
     */
   private def spinProbe(threads: Int): Double = {
     val per = 600000000L / threads
@@ -59,63 +60,110 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
-  private def kgScaling(lo: Int, hi: Int, n: Long, maxRepeats: Int): (Double, Double) = {
+  final case class ScaleResult(
+      tLo: Double, tHi: Double,
+      gatedLo: Boolean, gatedHi: Boolean,
+      acceptedLo: Int, acceptedHi: Int, rejected: Int,
+      spinBest: Double, spinLast: Double)
+
+  /** Best-of-repeats throughput at two parallelism levels, interleaved.
+    *
+    * Sampling protocol (stop rule is OUTCOME-INDEPENDENT — it never looks at
+    * the efficiency value, only at sample counts / stabilization, so optional
+    * stopping cannot bias the reported number):
+    *   - a sample is accepted only if a `hi`-thread spin probe shows the box
+    *     quiet immediately before AND after the measured run (steal gate);
+    *   - every sampled session is warmed with a small run first (both levels
+    *     — an unwarmed level would bias efficiency);
+    *   - sampling stops when (a) maxRepeats accepted pairs, (b) the wall
+    *     budget expires, or (c) neither per-level minimum improved by >2%
+    *     over `stalePairs` consecutive accepted pairs (stabilized);
+    *   - if the budget expires with no accepted sample at a level, a WARMED
+    *     ungated fallback measurement is taken (min of up to 3 interleaved
+    *     repeats within the fallback budget) and the artifact marks that
+    *     level `gated: false` so a steal-contaminated number is
+    *     self-explaining.
+    */
+  private def kgScaling(lo: Int, hi: Int, n: Long, maxRepeats: Int): ScaleResult = {
     var bestLo = Double.MaxValue
     var bestHi = Double.MaxValue
-    var r = 0
+    var acceptedLo = 0
+    var acceptedHi = 0
+    var rejected = 0
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "480").toLong
     val deadline = System.nanoTime() + budgetSec * 1000000000L
-    // Host CPU steal is bursty (identical code measured at 0.93 vs 0.21
-    // efficiency); a spin probe estimates the best currently-available
-    // parallel capacity, and bursts are WAITED OUT rather than measured
-    // through. Within quiet windows, interleaved N/4N pairs run until both
-    // minima stabilize. All reported numbers are real measurements.
     var bestSpin = Double.MaxValue
-    (1 to 3).foreach(_ => bestSpin = math.min(bestSpin, spinProbe(hi)))
+    var lastSpin = Double.MaxValue
+    (1 to 3).foreach { _ =>
+      lastSpin = spinProbe(hi); bestSpin = math.min(bestSpin, lastSpin)
+    }
 
     def quiet(): Boolean = {
-      val s = spinProbe(hi); bestSpin = math.min(bestSpin, s); s <= bestSpin * 1.4
+      lastSpin = spinProbe(hi); bestSpin = math.min(bestSpin, lastSpin)
+      lastSpin <= bestSpin * 1.4
     }
     /** One gated sample: only accepted if the box was quiet immediately
       * before AND after the run (a burst mid-run inflates the time).
       */
-    def sample(cores: Int, warm: Boolean): Option[Double] = {
-      if (!quiet()) { Thread.sleep(8000); return None }
+    def sample(cores: Int): Option[Double] = {
+      if (!quiet()) { rejected += 1; Thread.sleep(8000); return None }
       val s = session(cores)
-      if (warm) kgRun(s, cores, 5000)
+      kgRun(s, cores, 5000) // warm this session (JIT + codegen + first-job)
       val t = kgRun(s, cores, n)
       s.stop()
-      if (quiet()) Some(t) else None
+      if (quiet()) Some(t) else { rejected += 1; None }
     }
 
-    def eff: Double = (bestLo / bestHi) / (hi.toDouble / lo)
-    var warmed = false
-    while (r < maxRepeats && System.nanoTime() < deadline &&
-      !(r >= 2 && eff >= 0.80 && eff <= 1.02)) {
-      sample(lo, !warmed).foreach { t => bestLo = math.min(bestLo, t); warmed = true }
-      sample(hi, false).foreach { t => bestHi = math.min(bestHi, t) }
-      if (bestLo < Double.MaxValue && bestHi < Double.MaxValue) r += 1
+    var pairs = 0
+    var stalePairs = 0
+    while (pairs < maxRepeats && stalePairs < 2 && System.nanoTime() < deadline) {
+      val prevLo = bestLo; val prevHi = bestHi
+      sample(lo).foreach { t => bestLo = math.min(bestLo, t); acceptedLo += 1 }
+      sample(hi).foreach { t => bestHi = math.min(bestHi, t); acceptedHi += 1 }
+      if (acceptedLo > 0 && acceptedHi > 0) {
+        pairs += 1
+        val improved = bestLo < prevLo * 0.98 || bestHi < prevHi * 0.98
+        if (pairs >= 2) { if (improved) stalePairs = 0 else stalePairs += 1 }
+      }
     }
-    // budget exhausted without a single accepted sample → measure ungated
-    // (better a steal-contaminated number than none)
-    if (bestLo == Double.MaxValue) {
-      val s = session(lo); kgRun(s, lo, 5000); bestLo = kgRun(s, lo, n); s.stop()
+
+    val gatedLo = acceptedLo > 0
+    val gatedHi = acceptedHi > 0
+    // budget exhausted without an accepted sample → measure ungated but
+    // WARMED and min-of-repeats at BOTH levels symmetrically (better a
+    // steal-contaminated number than none; the gated:false flag explains it)
+    if (!gatedLo || !gatedHi) {
+      val fallbackDeadline = System.nanoTime() +
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_FALLBACK_SEC", "240").toLong * 1000000000L
+      var i = 0
+      while (i < 3 && (i == 0 || System.nanoTime() < fallbackDeadline)) {
+        if (!gatedLo) {
+          val s = session(lo); kgRun(s, lo, 5000)
+          bestLo = math.min(bestLo, kgRun(s, lo, n)); s.stop()
+        }
+        if (!gatedHi) {
+          val s = session(hi); kgRun(s, hi, 5000)
+          bestHi = math.min(bestHi, kgRun(s, hi, n)); s.stop()
+        }
+        i += 1
+      }
     }
-    if (bestHi == Double.MaxValue) {
-      val s = session(hi); bestHi = kgRun(s, hi, n); s.stop()
-    }
-    (bestLo, bestHi)
+    ScaleResult(bestLo, bestHi, gatedLo, gatedHi, acceptedLo, acceptedHi,
+      rejected, bestSpin, lastSpin)
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-    // ---- headline queries at the configured parallelism
+    // ---- headline queries at the configured parallelism. q34 (LSH-verified
+    // near-dup) is the 100 TB-shape dedup path; the exhaustive all-pairs q16
+    // stays as the small-scale oracle but is NOT benched (quadratic by
+    // design — see BENCH/BASELINE.md).
     val spark = session(cpus.toInt)
     val headline = Seq(
       "q01_pricing_agg", "q02_region_revenue", "q03_top_orders_per_segment",
-      "q11_doc_stats", "q12_exact_dedup", "q15_minhash", "q16_neardup_pairs",
+      "q11_doc_stats", "q12_exact_dedup", "q15_minhash", "q34_neardup_lsh_verified",
       "q17_lsh_candidates", "q23_ann_cosine_topk", "q25_kg_pipeline_triples")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
@@ -136,16 +184,26 @@ object Bench {
     // pure spin loop, while 4→16 stays on physical cores.
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
     val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "8").toInt
-    val (tLo, tHi) = kgScaling(4, 16, scaleDocs, repeats)
-    val efficiency = (tLo / tHi) / 4.0
+    val sr = kgScaling(4, 16, scaleDocs, repeats)
+    val efficiency = (sr.tLo / sr.tHi) / 4.0
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val scaling =
-      f"""{"docs":$scaleDocs,"n_cores":4,"n4_cores":16,"local4_sec":$tLo%.2f,""" +
-        f""""local4_docs_per_sec":${scaleDocs / tLo}%.0f,"local16_sec":$tHi%.2f,""" +
-        f""""local16_docs_per_sec":${scaleDocs / tHi}%.0f,"efficiency":$efficiency%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      f"""{"docs":$scaleDocs,"n_cores":4,"n4_cores":16,"local4_sec":${sr.tLo}%.2f,""" +
+        f""""local4_docs_per_sec":${scaleDocs / sr.tLo}%.0f,"local16_sec":${sr.tHi}%.2f,""" +
+        f""""local16_docs_per_sec":${scaleDocs / sr.tHi}%.0f,"efficiency":$efficiency%.3f,""" +
+        f""""gated_lo":${sr.gatedLo},"gated_hi":${sr.gatedHi},""" +
+        f""""accepted_lo":${sr.acceptedLo},"accepted_hi":${sr.acceptedHi},""" +
+        f""""rejected_samples":${sr.rejected},""" +
+        f""""spin_best_sec":${sr.spinBest}%.2f,"spin_last_sec":${sr.spinLast}%.2f}"""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+    println(line)
+    // persist the artifact: stdout may be prefixed by the launcher (sbt
+    // [info]); the file copy is always machine-parseable.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_OUT.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case _: Throwable => () }
   }
 }

@@ -41,8 +41,12 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          // exact decimal sum, then ONE conversion to double — identical IEEE
+          // result in Spark and DuckDB. Round-1 driver hash was red on the
+          // decimal column (width 28 vs 38 across engines); double is the
+          // representation-unique type every other green query uses.
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
           count(lit(1)).as("count_order"))
     }),
 
@@ -84,7 +88,8 @@ object SparkEntry {
       c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_customers"), sum(dec(col("c_acctbal"))).as("sum_acctbal"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
     }),
 
     "q07_priority_setops" -> ((s, dir) => {
@@ -288,8 +293,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
          count(*) AS count_order
          FROM lineitem GROUP BY 1, 2""",
 
@@ -320,7 +325,7 @@ object SparkEntry {
 
     "q06_rollup_geo" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-         sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
          FROM customer JOIN nation ON c_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)""",

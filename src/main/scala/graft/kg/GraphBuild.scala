@@ -313,11 +313,19 @@ object GraphBuild {
       s"Professional skill ${s.text} is relevant to ${c.text}", "file_analysis")
   }
 
-  /** Interview rule families (v2:685-842). */
+  /** Interview rule families (v2:685-842). Role selection mirrors the
+    * reference's assignment loop (v2:725-731): LAST matching person wins for
+    * each role, and the `elif` means an interviewer-role person is never also
+    * picked as interviewee (even if primary).
+    */
   def participantRels(entities: Seq[Entity]): Seq[Relationship] = {
     val persons = entities.filter(_.entityType == "person")
-    val interviewer = persons.find(_.role == "interviewer")
-    val interviewee = persons.find(p => p.role == "interviewee" || p.primary)
+    var interviewer: Option[Entity] = None
+    var interviewee: Option[Entity] = None
+    for (p <- persons) {
+      if (p.role == "interviewer") interviewer = Some(p)
+      else if (p.role == "interviewee" || p.primary) interviewee = Some(p)
+    }
     (interviewer, interviewee) match {
       case (Some(ivr), Some(ive)) => Seq(Relationship(
         ivr.text, ive.text, "interviews", 0.95,

@@ -127,6 +127,26 @@ class GraphBuildSpec extends AnyFunSuite {
     assert(rels.map(r => (r.src, r.dst)) == Seq(("Financial planning", "Wealth management")))
   }
 
+  test("participant roles: LAST matching person wins; interviewer never doubles as interviewee") {
+    def person(t: String, role: String, primary: Boolean) =
+      Entity(t, "person", 0.8, "", "file_analysis", role, "", primary, 0.8)
+    // two interviewer-role persons → the reference's loop keeps the last one
+    val rels = GraphBuild.participantRels(Seq(
+      person("First Host", "interviewer", primary = false),
+      person("Second Host", "interviewer", primary = false),
+      person("Cust Omer", "interviewee", primary = true)))
+    assert(rels.map(r => (r.src, r.dst)) == Seq(("Second Host", "Cust Omer")))
+    // elif: a primary interviewer-role person is NOT selected as interviewee
+    assert(GraphBuild.participantRels(Seq(
+      person("Solo Host", "interviewer", primary = true))).isEmpty)
+    // last-wins applies to interviewee too
+    val rels2 = GraphBuild.participantRels(Seq(
+      person("Host A", "interviewer", primary = false),
+      person("Guest One", "interviewee", primary = false),
+      person("Guest Two", "mentioned_person", primary = true)))
+    assert(rels2.map(r => (r.src, r.dst)) == Seq(("Host A", "Guest Two")))
+  }
+
   test("customer-name length guard: >3 words rejected on standard path (P6)") {
     assert(GraphBuild.personEntities("A Very Long Customer Name", Nil).isEmpty)
     // interview participant path has NO guard (v2:296-311)
