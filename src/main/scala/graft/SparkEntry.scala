@@ -9,10 +9,11 @@ import org.apache.spark.sql.functions._
 
 /** Driver contract — SURVEY.md §2 operator coverage as (query, DuckDB-oracle)
   * pairs over the driver testdata, plus the KG pipeline itself (q25/entry).
-  * Non-SQL-expressible ops (simhash, LSH-ANN internals, multimodal stubs,
-  * connected components) have queries without oracles → rows-only checks;
-  * their correctness is covered by ScalaTest (incl. the reference-parity
-  * suite in test-oracle/).
+  * Every query has an oracle: the previously rows-only ops are expressed in
+  * portable SQL too (recursive-CTE connected components for q28, md5-bit
+  * SimHash reconstruction for q26, deterministic-hyperplane LSH for q24,
+  * header-decode-vs-generation-params for q27). Deeper correctness is
+  * covered by ScalaTest incl. the reference-parity suite in test-oracle/.
   */
 object SparkEntry {
 
@@ -265,7 +266,8 @@ object SparkEntry {
         max(col("pred")).as("most_common_relationship"))
     }),
 
-    // ---------------- rows-only checks (not SQL-expressible in the oracle)
+    // ---------------- approximate / engine-native ops (oracled via portable
+    // SQL reconstructions — see oracleSql)
     "q24_ann_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), queryIds = 0L until 8L, k = 5)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")),
@@ -573,6 +575,112 @@ object SparkEntry {
                      THEN upper(substr(d.source, 1, 1)) || substr(d.source, 2)
                      ELSE p.subj_kind END AS subj,
                 p.pred AS pred, p.obj AS obj, p.confidence AS confidence
-         FROM documents d CROSS JOIN pat p"""
+         FROM documents d CROSS JOIN pat p""",
+
+    // LSH-verified near-dup (the 100 TB dedup shape): candidates from the
+    // q17 band join, verified with the q16 exact Jaccard — composed here so
+    // the scale path itself is driver-checked, not just its ingredients.
+    "q34_neardup_lsh_verified" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         seeds AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed),
+         mh AS (SELECT doc_id, seed, min(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                  WHERE a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.d1, c.d2, count(*) AS inter
+                   FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+                   GROUP BY 1, 2)
+         SELECT d1, d2, round(inter / (s1.n + s2.n - inter), 6) AS jaccard
+         FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE round(inter / (s1.n + s2.n - inter), 6) > 0.8""",
+
+    // Connected components as a recursive CTE: reach(id,lab) closes over the
+    // symmetrized edge list; component = min reachable label. Labels are
+    // VARCHAR (matching the engine's string hash-min) then cast back.
+    "q28_canon_components" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         ds AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                   FROM ds x JOIN ds y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2),
+         sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+         ed AS (SELECT d1, d2 FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                WHERE round(inter / (s1.n + s2.n - inter), 6) > 0.8),
+         edges AS (SELECT CAST(d1 AS VARCHAR) AS a, CAST(d2 AS VARCHAR) AS b FROM ed
+                   UNION SELECT CAST(d2 AS VARCHAR), CAST(d1 AS VARCHAR) FROM ed),
+         reach(id, lab) AS (SELECT a, a FROM edges
+                            UNION SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id)
+         SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lab) AS BIGINT) AS component
+         FROM reach GROUP BY 1""",
+
+    // Multi-table sign-hyperplane LSH top-k: the ±1 hyperplane coefficients
+    // are deterministic (parity of 31·i + 17·plane), so bucket assignment,
+    // candidate set, and exact cosine re-rank are all reconstructable in SQL.
+    "q24_ann_lsh_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         pl AS (SELECT t, j FROM generate_series(0,3) tt(t) CROSS JOIN generate_series(0,5) jj(j)),
+         s AS (SELECT e.vec_id, pl.t, pl.j,
+                 list_sum(list_transform(e.emb, (x, i) -> x *
+                   (CASE WHEN ((i-1)*31 + (pl.t*6 + pl.j)*17) % 2 = 0 THEN 1.0 ELSE -1.0 END))) AS sv
+               FROM e CROSS JOIN pl),
+         bk AS (SELECT vec_id, t, CAST(sum(CASE WHEN sv > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+                FROM s GROUP BY 1, 2),
+         q AS (SELECT vec_id AS qid, t, bucket FROM bk WHERE vec_id < 8),
+         cand AS (SELECT DISTINCT q.qid, b.vec_id AS nid
+                  FROM bk b JOIN q ON b.t = q.t AND b.bucket = q.bucket
+                  WHERE b.vec_id <> q.qid),
+         sc AS (SELECT c.qid, c.nid, round(list_cosine_similarity(eq.emb, en.emb), 6) AS cos_sim
+                FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e en ON en.vec_id = c.nid),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk FROM sc)
+         SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5""",
+
+    // SimHash reconstructed bit-for-bit: per-token md5, top-64-bit value,
+    // majority vote per bit, re-assembled into the same 16-char hex string.
+    "q26_simhash" -> {
+      val split = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+      def bit(j: Int) =
+        s"(((strpos('0123456789abcdef', substr(m, ${16 - j / 4}, 1)) - 1) >> ${j % 4}) & 1)"
+      val votes = (0 until 64)
+        .map(j => s"sum(CASE WHEN ${bit(j)} = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+      def nib(n: Int) = {
+        val v = (3 to 0 by -1)
+          .map(k => s"(CASE WHEN coalesce(v.b${4 * n + k}, 0) > 0 THEN ${1 << k} ELSE 0 END)")
+          .mkString(" + ")
+        s"substr('0123456789abcdef', ($v) + 1, 1)"
+      }
+      val hexExpr = (15 to 0 by -1).map(nib).mkString(" || ")
+      s"WITH toks AS (SELECT doc_id, unnest($split) AS tok FROM documents), " +
+        s"h AS (SELECT doc_id, md5(tok) AS m FROM toks), " +
+        s"v AS (SELECT doc_id, $votes FROM h GROUP BY 1) " +
+        s"SELECT d.doc_id, $hexExpr AS simhash FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id"
+    },
+
+    // The oracle knows only the GENERATION parameters (id → kind/dims/rate
+    // formulas); the engine side recovers them by parsing the real container
+    // headers — so this checks the byte-level decoders, not a tautology.
+    "q27_multimodal_features" ->
+      """WITH f AS (SELECT i,
+           CASE WHEN i%3=0 THEN 'png' WHEN i%3=1 THEN 'jpg' ELSE 'wav' END AS kind,
+           (i%17=0) AS corrupt,
+           64+(i%512) AS w, 48+(i%256) AS h, 8000+(i%8)*4000 AS sr
+           FROM generate_series(0,999) t(i))
+         SELECT kind, count(*) AS n,
+           CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
+           CAST(sum(CASE WHEN corrupt THEN 3 WHEN kind='png' THEN 97 WHEN kind='jpg' THEN 103 ELSE 108 END) AS BIGINT) AS total_bytes,
+           CAST(max(CASE WHEN corrupt THEN 0 WHEN kind IN ('png','jpg') THEN w ELSE 0 END) AS BIGINT) AS max_width,
+           CAST(max(CASE WHEN corrupt THEN 0 WHEN kind IN ('png','jpg') THEN h ELSE 0 END) AS BIGINT) AS max_height,
+           CAST(max(CASE WHEN corrupt THEN 0 WHEN kind='wav' THEN sr ELSE 0 END) AS BIGINT) AS max_sample_rate
+         FROM f GROUP BY 1"""
   )
 }

@@ -136,13 +136,40 @@ object NearDup {
     out
   }
 
-  /** DataFrame helper: (idCol, simhash) via typed map. */
+  /** Portable 64-bit SimHash: per-token md5, top 64 bits, majority vote per
+    * bit; emitted as 16-char lowercase hex so the value is reconstructable
+    * bit-for-bit by any engine with md5 (the DuckDB oracle recomputes it in
+    * SQL). `simhash64` (FNV basis) stays as the allocation-free scale
+    * variant — same algorithm, cheaper hash.
+    */
+  def simhashMd5Hex(text: String): String = {
+    val votes = new Array[Int](64)
+    if (text != null) {
+      for (tok <- text.split("\\s+") if tok.nonEmpty) {
+        val v = java.lang.Long.parseUnsignedLong(
+          graft.text.PyText.md5Hex(tok).substring(0, 16), 16)
+        var b = 0
+        while (b < 64) { if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      }
+    }
+    val hex = "0123456789abcdef"
+    val sb = new java.lang.StringBuilder(16)
+    var n = 15
+    while (n >= 0) {
+      var nib = 0; var k = 3
+      while (k >= 0) { nib = (nib << 1) | (if (votes(4 * n + k) > 0) 1 else 0); k -= 1 }
+      sb.append(hex.charAt(nib)); n -= 1
+    }
+    sb.toString
+  }
+
+  /** DataFrame helper: (idCol, simhash hex) via typed map. */
   def simhashDF(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) => (id, simhash64(if (text == null) "" else text)) }
+      .map { case (id, text) => (id, simhashMd5Hex(text)) }
       .toDF(idCol, "simhash")
   }
 

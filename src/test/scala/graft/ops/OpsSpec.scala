@@ -108,7 +108,23 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall $recall too low; bf=$bf lsh=$lsh")
   }
 
-  test("multimodal feature extraction: stub decode + corrupt payload path") {
+  test("multimodal: PNG/JPEG/WAV header decoders recover the encoded values") {
+    assert(Multimodal.decodePng(Multimodal.pngBytes(7L, 640, 480)) == Some((640, 480)))
+    // JPEG parser must WALK past APP0 to the SOF segment
+    assert(Multimodal.decodeJpeg(Multimodal.jpegBytes(7L, 575, 303)) == Some((575, 303)))
+    assert(Multimodal.decodeWav(Multimodal.wavBytes(7L, 44100, 2)) == Some((44100, 2)))
+    // cross-sniffing: each decoder rejects the other formats and garbage
+    assert(Multimodal.decodePng(Multimodal.jpegBytes(1L, 10, 10)).isEmpty)
+    assert(Multimodal.decodeJpeg(Multimodal.wavBytes(1L, 8000, 1)).isEmpty)
+    assert(Multimodal.decodeWav(Multimodal.pngBytes(1L, 10, 10)).isEmpty)
+    assert(Multimodal.decode(Array[Byte](1, 2, 3)) == ((false, 0, 0, 0, 0)))
+    assert(Multimodal.decode(null) == ((false, 0, 0, 0, 0)))
+    // truncated structures fail cleanly, not with exceptions
+    assert(Multimodal.decodePng(Multimodal.pngBytes(1L, 10, 10).take(20)).isEmpty)
+    assert(Multimodal.decodeJpeg(Multimodal.jpegBytes(1L, 10, 10).take(10)).isEmpty)
+  }
+
+  test("multimodal feature extraction: real header decode + corrupt payload path") {
     import spark.implicits._
     val media = Multimodal.syntheticMedia(spark, 100)
     val feats = Multimodal.extractFeatures(spark, media).collect()
@@ -116,10 +132,28 @@ class OpsSpec extends SparkSpec {
     val corrupt = feats.filter(!_.valid)
     assert(corrupt.nonEmpty && corrupt.forall(f => f.media_id % 17 == 0))
     val valid = feats.filter(_.valid)
-    assert(valid.forall(f => f.width > 0 && f.height > 0 && f.n_bytes == 76))
+    assert(valid.filter(f => f.kind != "wav").forall(f =>
+      f.width == 64 + f.media_id % 512 && f.height == 48 + f.media_id % 256))
+    assert(valid.filter(_.kind == "wav").forall(f =>
+      f.sample_rate == 8000 + (f.media_id % 8) * 4000 && f.channels == 1 + f.media_id % 2))
+    val bytesByKind = Map("png" -> 97L, "jpg" -> 103L, "wav" -> 108L)
+    assert(valid.forall(f => f.n_bytes == bytesByKind(f.kind)))
     // determinism
     val again = Multimodal.extractFeatures(spark, media).collect()
     assert(again.map(_.checksum).toSeq == feats.map(_.checksum).toSeq)
+  }
+
+  test("portable simhash: identical equal, near texts closer than far texts, empty → zero") {
+    val a = NearDup.simhashMd5Hex("the quick brown fox jumps over the lazy dog")
+    val b = NearDup.simhashMd5Hex("the quick brown fox jumps over the lazy cat")
+    val c = NearDup.simhashMd5Hex("completely unrelated content about spark engines")
+    assert(a == NearDup.simhashMd5Hex("the quick brown fox jumps over the lazy dog"))
+    assert(a.length == 16 && a.matches("[0-9a-f]{16}"))
+    def ham(x: String, y: String) = java.lang.Long.bitCount(
+      java.lang.Long.parseUnsignedLong(x, 16) ^ java.lang.Long.parseUnsignedLong(y, 16))
+    assert(ham(a, b) < ham(a, c))
+    assert(NearDup.simhashMd5Hex("") == "0000000000000000")
+    assert(NearDup.simhashMd5Hex(null) == "0000000000000000")
   }
 
   test("langid guess and votes") {
