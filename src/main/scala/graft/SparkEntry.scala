@@ -547,13 +547,25 @@ object SparkEntry {
          toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk)
          SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok FROM toks WHERE pos <= 5""",
 
+    // Route-dependent expectation: the oracle maps each document's lang to
+    // its route and reconstructs that route's triples — exercising the
+    // engine's front-matter parse → routing → per-route needs profile →
+    // strict-threshold rules (generic-routed docs must yield NO triples).
     "q33_graph_metrics" ->
       """WITH pat AS (
            SELECT * FROM (VALUES
-             ('demonstrates', 0.8), ('demonstrates', 0.6), ('demonstrates', 0.7),
-             ('influences', 0.8), ('influences', 0.8)) t(pred, confidence)),
-         trip AS (SELECT d.source AS customer_id, p.pred, p.confidence
-                  FROM documents d CROSS JOIN pat p)
+             ('financial', 'demonstrates', 0.8), ('financial', 'demonstrates', 0.6),
+             ('financial', 'influences', 0.8), ('financial', 'influences', 0.8),
+             ('interview', 'demonstrates', 0.8), ('interview', 'demonstrates', 0.6),
+             ('interview', 'demonstrates', 0.7),
+             ('interview', 'influences', 0.8), ('interview', 'influences', 0.8)
+           ) t(route, pred, confidence)),
+         docs AS (SELECT source, CASE WHEN lang = 'de' THEN 'financial'
+                    WHEN lang = 'en' THEN 'interview' ELSE 'generic' END AS route
+                  FROM documents),
+         trip AS (SELECT d.source AS customer_id, p.pred,
+                         CAST(p.confidence AS DOUBLE) AS confidence
+                  FROM docs d JOIN pat p ON d.route = p.route)
          SELECT customer_id, count(*) AS total_triples,
                 round(avg(confidence), 6) AS avg_confidence,
                 count(DISTINCT pred) AS n_preds,
@@ -563,19 +575,26 @@ object SparkEntry {
     "q25_kg_pipeline_triples" ->
       """WITH pat AS (
            SELECT * FROM (VALUES
-             ('person', 'demonstrates', 'Significance', 0.8),
-             ('person', 'demonstrates', 'Connection', 0.6),
-             ('person', 'demonstrates', 'Growth', 0.7),
-             ('Significance', 'influences', 'Leadership-oriented', 0.8),
-             ('Connection', 'influences', 'Collaborative', 0.8)
-           ) t(subj_kind, pred, obj, confidence))
+             ('financial', 'person', 'demonstrates', 'Certainty', 0.8),
+             ('financial', 'person', 'demonstrates', 'Growth', 0.6),
+             ('financial', 'Certainty', 'influences', 'Strategic planner', 0.8),
+             ('financial', 'Certainty', 'influences', 'Risk manager', 0.8),
+             ('interview', 'person', 'demonstrates', 'Significance', 0.8),
+             ('interview', 'person', 'demonstrates', 'Connection', 0.6),
+             ('interview', 'person', 'demonstrates', 'Growth', 0.7),
+             ('interview', 'Significance', 'influences', 'Leadership-oriented', 0.8),
+             ('interview', 'Connection', 'influences', 'Collaborative', 0.8)
+           ) t(route, subj_kind, pred, obj, confidence)),
+         docs AS (SELECT doc_id, source, CASE WHEN lang = 'de' THEN 'financial'
+                    WHEN lang = 'en' THEN 'interview' ELSE 'generic' END AS route
+                  FROM documents)
          SELECT d.source AS customer_id,
                 'https://corpus.local/customers/' || d.source || '/doc_' || CAST(d.doc_id AS VARCHAR) || '.html' AS url,
                 CASE WHEN p.subj_kind = 'person'
                      THEN upper(substr(d.source, 1, 1)) || substr(d.source, 2)
                      ELSE p.subj_kind END AS subj,
-                p.pred AS pred, p.obj AS obj, p.confidence AS confidence
-         FROM documents d CROSS JOIN pat p""",
+                p.pred AS pred, p.obj AS obj, CAST(p.confidence AS DOUBLE) AS confidence
+         FROM docs d JOIN pat p ON d.route = p.route""",
 
     // LSH-verified near-dup (the 100 TB dedup shape): candidates from the
     // q17 band join, verified with the q16 exact Jaccard — composed here so

@@ -150,6 +150,14 @@ object Corpus {
   /** Alternative corpus: wrap the driver-provided documents table
     * (testdata documents.parquet) as pages — used by SparkEntry's
     * flagship so the driver-visible path runs on driver data.
+    *
+    * Each page carries front matter whose content_type derives from the
+    * document's language column (de → financial, en → interview, else
+    * generic), so the driver-checked pipeline exercises front-matter strip →
+    * parse → routing → per-route needs profiles → threshold rules, not one
+    * constant path; the DuckDB oracle reconstructs the per-route triples
+    * from the same documents columns. PersonaName matches the url-derived
+    * name, keeping the subject a document-table-derived value.
     */
   def pagesFromDocuments(spark: SparkSession, sfDir: String): Dataset[Page] = {
     import spark.implicits._
@@ -158,8 +166,15 @@ object Corpus {
       .as[(Long, String, String, String)]
       .map { case (id, text, lang, source) =>
         val url = s"https://corpus.local/customers/${source}/doc_$id.html"
+        val contentType = lang match {
+          case "de" => "financial_advice"
+          case "en" => "interview_transcript"
+          case _ => "generic_note"
+        }
+        val persona = graft.analyze.DocAnalyze.customerNameFromId(source)
+        val raw = frontMatter(persona, contentType, badJson = false) + text
         Page(url, new java.sql.Timestamp(1726000000000L + id * 1000L),
-          TextExtract.wrapHtml(text, s"doc_$id"), text, lang)
+          TextExtract.wrapHtml(raw, s"doc_$id"), raw, lang)
       }
   }
 }
