@@ -12,12 +12,23 @@ import graft.text.{PyText, TextExtract}
   */
 object DocAnalyze {
 
+  // Python-re parity (the reference's re module is Unicode-aware; Java's
+  // default \s/\b/./^ are ASCII- or line-terminator-divergent):
+  //  - \s → explicit class from PyText.isPySpace (== Python's \s exactly,
+  //    incl. NBSP/NEL/FS..US which would otherwise split 'Karl Stein');
+  //  - \b → UNICODE_CHARACTER_CLASS so 'Weiß' doesn't yield PERSON 'Wei';
+  //  - . and MULTILINE ^ → UNIX_LINES so only \n terminates, like Python.
+  private val Sp = graft.text.PyText.pySpaceClass
   /** Speaker-line pattern — interview_processing_agent.py:58. */
-  private val SpeakerRe = "^([A-Za-z\\s]+):\\s*(.+)$".r
+  private val SpeakerRe = (s"(?d)^([A-Za-z$Sp]+):[$Sp]*(.+)$$").r
   /** Complexity speaker pattern (MULTILINE prefix form) — enhanced_file_analyzer.py:87. */
-  private val SpeakerPrefixRe = java.util.regex.Pattern.compile("^([A-Za-z\\s]+):\\s*", java.util.regex.Pattern.MULTILINE)
+  private val SpeakerPrefixRe = java.util.regex.Pattern.compile(
+    s"^([A-Za-z$Sp]+):[$Sp]*",
+    java.util.regex.Pattern.MULTILINE | java.util.regex.Pattern.UNIX_LINES)
   /** Name NER — interview_processing_agent.py:105. */
-  private val NameRe = java.util.regex.Pattern.compile("\\b[A-Z][a-z]+(?:\\s+[A-Z][a-z]+)*\\b")
+  private val NameRe = java.util.regex.Pattern.compile(
+    s"\\b[A-Z][a-z]+(?:[$Sp]+[A-Z][a-z]+)*\\b",
+    java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
   private val SentenceRe = "[.!?]+"
 
   val orgKeywords: Seq[String] = Seq(

@@ -133,13 +133,30 @@ object Corpus {
     fm + paras.mkString("\n\n")
   }
 
-  /** Edge-case variants for the byte-identical tests. */
+  /** Edge-case variants for the byte-identical tests. 14/15 carry ß, NBSP
+    * and NEL so the parity suite exercises Python-vs-JVM regex semantics
+    * (\b around ß, \s over NBSP/NEL) — divergent engines produce different
+    * PERSON entities on these docs.
+    */
   def applyVariant(body: String, variant: Int): String = variant match {
     case 18 => body.replace("\n", "\r\n") // CRLF
     case 19 => body + "\n\nlist --- of --- dashes inside body"
     case 16 => "" // empty file
+    // injected as the FIRST body line (after any front matter) so the NER
+    // 10-raw-match cap can't starve them out of the entity set
+    case 15 => injectFirstLine(body, "Anna Weiß and Karl\u00a0Stein joined Große Pläne talks.")
+    case 14 => injectFirstLine(body, "Pat\u00a0Miller: we split\u0085the Line here with Mark Roth.")
     case _ => body
   }
+
+  private def injectFirstLine(body: String, extra: String): String =
+    if (body.startsWith("---")) {
+      val end = body.indexOf("---", 3)
+      if (end > 0) {
+        val cut = end + 3
+        body.substring(0, cut) + "\n" + extra + body.substring(cut)
+      } else extra + "\n" + body
+    } else extra + "\n" + body
 
   def pages(spark: SparkSession, n: Long, seed: Long = 42L, partitions: Int = 0): Dataset[Page] = {
     import spark.implicits._

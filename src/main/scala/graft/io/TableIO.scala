@@ -35,23 +35,32 @@ final class ParquetTableIO(warehouse: String) extends TableIO {
 
 /** Exports (SURVEY §2.1 S11 — neptune_customer_graph_reader.py:376-440):
   * per-customer nodes/edges as CSV or JSON plus a driver-side text summary.
+  * Export hygiene (F12/F13): string columns are PII-redacted and the
+  * customer-id path component sanitized, mirroring the reference's
+  * boundary sanitization (graph_extraction_agent.py:245-285, 705-712).
   */
 object Exports {
   def exportCustomer(nodes: DataFrame, edges: DataFrame, customerId: String,
-                     outDir: String, format: String = "json"): Unit = {
+                     outDir: String, format: String = "json",
+                     redactPii: Boolean = true): Unit = {
     import org.apache.spark.sql.functions._
-    val n = nodes.where(col("customer_id") === customerId)
-    val e = edges.where(col("customer_id") === customerId)
+    def prep(df: DataFrame) = {
+      val f = df.where(col("customer_id") === customerId)
+      if (redactPii) Redact.redactFrame(f) else f
+    }
+    val n = prep(nodes)
+    val e = prep(edges)
+    val dir = s"$outDir/${Redact.sanitizeKeyComponent(customerId)}"
     format match {
       case "csv" =>
         // CSV cannot carry arrays — stringify evidence like the reference's
         // pandas to_csv did
-        n.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$outDir/nodes_csv")
+        n.write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$dir/nodes_csv")
         e.withColumn("evidence", concat_ws("|", col("evidence")))
-          .write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$outDir/edges_csv")
+          .write.mode(SaveMode.Overwrite).option("header", "true").csv(s"$dir/edges_csv")
       case _ =>
-        n.write.mode(SaveMode.Overwrite).json(s"$outDir/nodes_json")
-        e.write.mode(SaveMode.Overwrite).json(s"$outDir/edges_json")
+        n.write.mode(SaveMode.Overwrite).json(s"$dir/nodes_json")
+        e.write.mode(SaveMode.Overwrite).json(s"$dir/edges_json")
     }
   }
 

@@ -39,7 +39,9 @@ object GraphBuild {
     interviewIndicators.exists(p.contains(_))
   }
 
-  private val WsRun = "\\s+".r
+  // Python-\s-exact run (re.sub(r'\s+', ...) in the reference is
+  // Unicode-aware; Java's \s is ASCII-only — see PyText.pySpaceClass)
+  private val WsRun = ("[" + PyText.pySpaceClass + "]+").r
 
   /** F5 — entity text cleaning (v2:600-618). */
   def cleanEntityText(text: String): String = {
@@ -178,8 +180,12 @@ object GraphBuild {
         "", "technology", primary = false, 0.8))
   }
 
-  /** File-analysis entity assembly (v2:97-131), deduped. */
-  def entitiesFromFileAnalysis(doc: DocAnalysis): Seq[Entity] = {
+  /** File-analysis entity assembly (v2:97-131), deduped. The enricher hook
+    * is the §2.9 seam (v2 appends LLM entities before dedup); the no-op
+    * default keeps the deterministic contract.
+    */
+  def entitiesFromFileAnalysis(doc: DocAnalysis,
+                               enricher: Enricher = NoopEnricher): Seq[Entity] = {
     val isInterview = isInterviewFormatEntity(doc.filePath, doc.text)
     val base =
       if (isInterview)
@@ -193,7 +199,7 @@ object GraphBuild {
           skillEntities(doc.insights) ++
           conceptEntities(doc.insights) ++
           orgEntities(doc.entities)
-    dedupEntities(base) // LLM enrichment stage intentionally absent (deterministic contract §2.9)
+    dedupEntities(base ++ enricher.enrichEntities(doc, base))
   }
 
   /** Needs-analysis entity assembly (v2:133-153), deduped. */
@@ -372,9 +378,11 @@ object GraphBuild {
   }
 
   /** U2 — relationship assembly (v2:637-678): interview path (path-only
-    * detection) vs standard path; LLM semantic stage absent; then A12 dedup.
+    * detection) vs standard path; the enricher hook mirrors the LLM semantic
+    * stage (appended before A12 dedup), no-op by default.
     */
-  def relationships(entities: Seq[Entity], doc: DocAnalysis, needs: NeedsProfile): Seq[Relationship] = {
+  def relationships(entities: Seq[Entity], doc: DocAnalysis, needs: NeedsProfile,
+                    enricher: Enricher = NoopEnricher): Seq[Relationship] = {
     val rels =
       if (isInterviewFormatRel(doc.filePath))
         participantRels(entities) ++
@@ -388,7 +396,7 @@ object GraphBuild {
           personNeedRels(entities, needs.dominant) ++
           needBehaviorRels(entities) ++
           skillConceptRels(entities)
-    dedupRelationships(rels)
+    dedupRelationships(rels ++ enricher.enrichRelationships(doc, entities, rels))
   }
 
   // ------------------------------------------------------------------- graph
@@ -422,15 +430,16 @@ object GraphBuild {
   /** The per-document transform (v2 build_enhanced_hypergraph:1111-1180),
     * = SURVEY §3.2's unit-testable pure function.
     */
-  def build(doc: DocAnalysis, needs: NeedsProfile): DocGraph = {
-    val fileEntities = entitiesFromFileAnalysis(doc)
+  def build(doc: DocAnalysis, needs: NeedsProfile,
+            enricher: Enricher = NoopEnricher): DocGraph = {
+    val fileEntities = entitiesFromFileAnalysis(doc, enricher)
     val needsEntities = entitiesFromNeeds(needs)
     var all = fileEntities ++ needsEntities
     // fallback: ensure >=3 entities by injecting customer (v2:1135-1148)
     if (all.size < 3 && doc.customerName.nonEmpty)
       all = all :+ Entity(doc.customerName, "person", 0.9, "Primary customer",
         "metadata", "customer", "", primary = true, 1.0)
-    val rels = relationships(all, doc, needs)
+    val rels = relationships(all, doc, needs, enricher)
     val nodes = buildNodes(all, doc.filePath)
     val edges = buildEdges(rels, nodes)
     DocGraph(doc.url, doc.customerId, doc.routedPath, nodes, edges)

@@ -31,6 +31,30 @@ object GraphQueries {
     nodes.where(col("customer_id") === customerId).groupBy("node_type").count(),
     edges.where(col("customer_id") === customerId).groupBy("relationship_type").count())
 
+  /** W3 — latest extraction per customer (neptune_customer_graph_reader.py
+    * :156-176: sort extractions by timestamp desc, take the first). Spark
+    * shape: one window row_number over (customer_id) ordered by ts desc with
+    * a deterministic tie-break — no driver-side listing.
+    *
+    * @param extractions DataFrame with (customer_id, extraction_id, ts, ...)
+    */
+  def latestExtractionPerCustomer(extractions: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("customer_id"))
+      .orderBy(col("ts").desc, col("extraction_id").desc)
+    extractions.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** W3 composition — a customer's nodes from its latest extraction only
+    * (read_customer_nodes_s3 with extraction_id=None, :167-176).
+    */
+  def latestCustomerNodes(nodes: DataFrame, extractions: DataFrame, customerId: String): DataFrame = {
+    val latest = latestExtractionPerCustomer(
+      extractions.where(col("customer_id") === customerId))
+      .select(col("customer_id"), col("extraction_id"))
+    nodes.join(broadcast(latest), Seq("customer_id", "extraction_id"), "left_semi")
+  }
+
   /** A5 — degree per node (exploded endpoints). */
   def nodeDegrees(edges: DataFrame): DataFrame =
     edges.select(explode(array(col("source_node_id"), col("target_node_id"))).as("node_id"))

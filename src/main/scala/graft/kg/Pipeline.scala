@@ -43,11 +43,15 @@ object Pipeline {
   /** Per-doc output: the graph plus the doc's mentions (for the link stage). */
   final case class DocOut(graph: DocGraph, mentions: Seq[MentionRow])
 
-  /** The fused per-document transform — SURVEY §3.2's pure function. */
-  def buildDoc(p: Page): DocGraph = {
+  /** The fused per-document transform — SURVEY §3.2's pure function.
+    * `v1 = true` opts into the v1-builder extensions (J7 co-occurrence
+    * edges + J9 confidence smoothing, see GraphBuildV1); `enricher` is the
+    * §2.9 pluggable enrichment seam (no-op default).
+    */
+  def buildDoc(p: Page, v1: Boolean = false, enricher: Enricher = NoopEnricher): DocGraph = {
     val doc = DocAnalyze.analyze(p)
     val needs = Needs.profile(doc)
-    GraphBuild.build(doc, needs)
+    if (v1) GraphBuildV1.buildV1(doc, needs) else GraphBuild.build(doc, needs, enricher)
   }
 
   /** pages → Dataset[DocGraph] with per-partition metrics + lineage capture.
@@ -55,16 +59,16 @@ object Pipeline {
     * ride on accumulators-free side channel (emitted as data, north rule's
     * per-partition metrics table).
     */
-  def docGraphs(spark: SparkSession, pages: Dataset[Page]): Dataset[DocGraph] = {
+  def docGraphs(spark: SparkSession, pages: Dataset[Page], v1: Boolean = false): Dataset[DocGraph] = {
     import spark.implicits._
-    pages.mapPartitions(_.map(buildDoc))
+    pages.mapPartitions(_.map(p => buildDoc(p, v1)))
   }
 
   /** Variant keeping the NER mentions (context = leading 400 chars). */
-  def buildDocOut(p: Page): DocOut = {
+  def buildDocOut(p: Page, v1: Boolean = false, enricher: Enricher = NoopEnricher): DocOut = {
     val doc = DocAnalyze.analyze(p)
     val needs = Needs.profile(doc)
-    val g = GraphBuild.build(doc, needs)
+    val g = if (v1) GraphBuildV1.buildV1(doc, needs) else GraphBuild.build(doc, needs, enricher)
     val ctx = doc.text.take(400)
     DocOut(g, doc.entities.zipWithIndex.map { case (e, i) =>
       MentionRow(doc.url, i, e.text, e.entityType, ctx)
@@ -73,14 +77,21 @@ object Pipeline {
 
   /** Same, plus partition id and per-doc build nanos so lineage and metrics
     * (incl. durations, north rule) derive without a second input pass.
+    * The enricher's open()/close() bracket each partition (warm-container
+    * analog: one model/client init per task, not per document).
     */
-  def docGraphsWithPartition(spark: SparkSession, pages: Dataset[Page]): Dataset[(DocOut, Int, Long)] = {
+  def docGraphsWithPartition(spark: SparkSession, pages: Dataset[Page],
+                             v1: Boolean = false,
+                             enricher: Enricher = NoopEnricher): Dataset[(DocOut, Int, Long)] = {
     import spark.implicits._
     pages.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val tc = org.apache.spark.TaskContext.get()
+      val pid = if (tc == null) 0 else tc.partitionId()
+      enricher.open()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => enricher.close())
       it.map { p =>
         val t0 = System.nanoTime()
-        val out = buildDocOut(p)
+        val out = buildDocOut(p, v1, enricher)
         (out, pid, System.nanoTime() - t0)
       }
     }
@@ -97,7 +108,9 @@ object Pipeline {
   def run(spark: SparkSession, pages: Dataset[Page], runId: String,
           outDir: String = "", resume: Boolean = false,
           aliases: Option[DataFrame] = None,
-          kb: Option[DataFrame] = None): RunResult = {
+          kb: Option[DataFrame] = None,
+          v1: Boolean = false,
+          enricher: Enricher = NoopEnricher): RunResult = {
     import spark.implicits._
 
     val tio: graft.io.TableIO = new graft.io.ParquetTableIO(outDir)
@@ -108,7 +121,7 @@ object Pipeline {
         pages.join(done, Seq("url"), "left_anti").as[Page]
       } else pages
 
-    val graphs = docGraphsWithPartition(spark, todo)
+    val graphs = docGraphsWithPartition(spark, todo, v1, enricher)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- flat node/edge/triple tables (narrow explodes)

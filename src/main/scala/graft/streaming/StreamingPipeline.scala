@@ -30,7 +30,7 @@ object StreamingPipeline {
     val schema = org.apache.spark.sql.Encoders.product[Page].schema
     val pages = spark.readStream.schema(schema).parquet(pagesDir).as[Page]
     val triples: Dataset[Triple] =
-      pages.mapPartitions(_.map(Pipeline.buildDoc)).flatMap(g => GraphBuild.triples(g))
+      pages.mapPartitions(_.map(p => Pipeline.buildDoc(p))).flatMap(g => GraphBuild.triples(g))
     triples.writeStream
       .format("parquet")
       .option("path", outDir)

@@ -17,6 +17,21 @@ object PyText {
   @inline def isPySpace(c: Char): Boolean =
     Character.isWhitespace(c) || c == '\u0085' || c == '\u00a0' || c == '\u2007' || c == '\u202f'
 
+  /** Python re \s as an explicit Java character-class body, built from
+    * isPySpace so both engines agree on NBSP/NEL/FS..US — Java's default
+    * ASCII \s excludes them and UNICODE_CHARACTER_CLASS \s excludes
+    * \x1c-\x1f. Use as "[" + pySpaceClass + "]".
+    */
+  lazy val pySpaceClass: String = {
+    val sb = new StringBuilder
+    var c = 0
+    while (c <= 0xFFFF) {
+      if (isPySpace(c.toChar)) sb.append(f"\\u$c%04x")
+      c += 1
+    }
+    sb.toString
+  }
+
   /** Python str.strip() — strips leading/trailing Python-whitespace. */
   def strip(s: String): String = {
     var i = 0

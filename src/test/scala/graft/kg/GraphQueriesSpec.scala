@@ -27,6 +27,27 @@ class GraphQueriesSpec extends SparkSpec {
     assert(GraphQueries.customerEdges(n, e, "c2").count() == 0) // n1 is c1's
   }
 
+  test("latest extraction per customer (W3): newest wins, deterministic tie-break, semi-join prune") {
+    import spark.implicits._
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val extractions = Seq(
+      ("c1", "ex1", ts("2026-01-01 10:00:00")),
+      ("c1", "ex2", ts("2026-02-01 10:00:00")),
+      ("c1", "ex0", ts("2026-02-01 10:00:00")), // tie on ts → max extraction_id wins
+      ("c2", "exA", ts("2026-01-15 09:00:00")))
+      .toDF("customer_id", "extraction_id", "ts")
+    val latest = GraphQueries.latestExtractionPerCustomer(extractions)
+      .select("customer_id", "extraction_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(latest == Set(("c1", "ex2"), ("c2", "exA")))
+
+    val nodes = Seq(
+      ("c1", "ex1", "n-old"), ("c1", "ex2", "n-new1"), ("c1", "ex2", "n-new2"), ("c2", "exA", "n-a"))
+      .toDF("customer_id", "extraction_id", "node_id")
+    val got = GraphQueries.latestCustomerNodes(nodes, extractions, "c1")
+      .select("node_id").as[String].collect().toSet
+    assert(got == Set("n-new1", "n-new2"))
+  }
+
   test("graph metrics: density, quality score (A3/A4), W7 quirk") {
     val (n, e) = fixture()
     val m = GraphQueries.graphMetrics(n, e).where(col("customer_id") === "c1").collect()(0)

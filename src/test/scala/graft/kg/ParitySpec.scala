@@ -88,6 +88,50 @@ class ParitySpec extends SparkSpec {
     assert(precision == 1.0 && recall == 1.0, "expected exact parity on deterministic path")
   }
 
+  test("v1 mode (J7 co-occurrence + J9 smoothing) matches the reference's own v1 methods on 500 docs") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val expected = Files.readAllLines(Paths.get("test-oracle/expected_500.jsonl")).asScala
+      .filter(_.nonEmpty).map { line =>
+        val n = mapper.readTree(line)
+        def tset(field: String) = n.get(field).elements().asScala.map { x =>
+          (x.get("subj").asText().toLowerCase, x.get("pred").asText(),
+            x.get("obj").asText().toLowerCase,
+            math.rint(x.get("confidence").asDouble() * 1e6) / 1e6)
+        }.toSet
+        val nodes = n.get("v1_nodes").elements().asScala.map { x =>
+          (x.get("content").asText(), x.get("node_type").asText(),
+            math.rint(x.get("confidence").asDouble() * 1e6) / 1e6)
+        }.toSet
+        n.get("url").asText() -> (nodes, tset("v1_triples"))
+      }.toMap
+    assert(expected.size == 500)
+
+    var tp = 0L; var fp = 0L; var fn = 0L; var nodeMismatch = 0; var nCo = 0
+    for (i <- 0L until 500L) {
+      val p = Corpus.genPage(i, 42L)
+      val doc = graft.analyze.DocAnalyze.analyze(p)
+      val g = GraphBuildV1.buildV1(doc, graft.needs.Needs.profile(doc))
+      val (expNodes, expTriples) = expected(p.url)
+      val gotNodes = g.nodes.map(n => (n.content, n.nodeType, math.rint(n.confidence * 1e6) / 1e6)).toSet
+      if (gotNodes != expNodes) {
+        nodeMismatch += 1
+        if (nodeMismatch <= 3)
+          info(s"v1 node diff @${p.url}\n only-ours: ${gotNodes -- expNodes}\n only-ref: ${expNodes -- gotNodes}")
+      }
+      val got = GraphBuild.triples(g)
+        .map(t => (t.subj.toLowerCase, t.pred, t.obj.toLowerCase, math.rint(t.confidence * 1e6) / 1e6)).toSet
+      nCo += got.count(_._2 == "co_occurrence")
+      tp += (got intersect expTriples).size
+      fp += (got -- expTriples).size
+      fn += (expTriples -- got).size
+      if ((got -- expTriples).nonEmpty && fp < 20)
+        info(s"v1 triple diff @${p.url}\n only-ours: ${got -- expTriples}\n only-ref: ${expTriples -- got}")
+    }
+    info(s"v1: tp=$tp fp=$fp fn=$fn co_occurrence=$nCo nodeMismatch=$nodeMismatch")
+    assert(nCo > 0, "corpus should produce some co-occurrence edges")
+    assert(fp == 0 && fn == 0 && nodeMismatch == 0, "expected exact v1 parity on deterministic path")
+  }
+
   test("pipeline on Spark produces identical triples at different parallelism (determinism)") {
     import spark.implicits._
     val t1 = Pipeline.docGraphs(spark, Corpus.pages(spark, 100, partitions = 2))

@@ -3,6 +3,20 @@ package graft.kg
 import graft.SparkSpec
 import graft.corpus.Corpus
 
+/** Test enricher (top-level so closure deserialization resolves back to this
+  * JVM singleton and the open() counter is observable in local mode).
+  */
+object CountingEnricher extends Enricher {
+  val opened = new java.util.concurrent.atomic.AtomicInteger
+  override def open(): Unit = { opened.incrementAndGet(); () }
+  override def enrichEntities(doc: graft.model.DocAnalysis,
+                              base: Seq[graft.model.Entity]): Seq[graft.model.Entity] =
+    Seq(
+      graft.model.Entity("Enriched Topic", "concept", 0.9, "llm", "file_analysis", "", "topic", primary = false, 0.8),
+      // duplicate (lower(text), type) of the injected one — dedup keeps max-confidence
+      graft.model.Entity("enriched topic", "concept", 0.5, "llm", "file_analysis", "", "topic", primary = false, 0.8))
+}
+
 /** Pipeline-level behaviors: resume idempotence (north rule), lineage and
   * metrics consistency, canonical-id stability.
   */
@@ -35,6 +49,31 @@ class PipelineSpec extends SparkSpec {
     val lineageDupes = spark.read.parquet(s"$dirB/lineage")
       .groupBy("url").count().where($"count" > 1).count()
     assert(lineageDupes == 0)
+  }
+
+  test("enrichment seam (§2.9): no-op default is identity; a plugged enricher adds entities pre-dedup") {
+    import spark.implicits._
+    val pages = Corpus.pages(spark, 40, partitions = 2)
+    def triplesOf(g: org.apache.spark.sql.Dataset[graft.model.DocGraph]) =
+      g.flatMap(GraphBuild.triples(_)).collect()
+        .map(t => (t.url, t.subj, t.pred, t.obj, t.confidence)).sorted.toSeq
+
+    // 1. explicit NoopEnricher ≡ the enricher-less path, byte-for-byte
+    val base = triplesOf(Pipeline.docGraphs(spark, pages))
+    val noop = triplesOf(
+      Pipeline.docGraphsWithPartition(spark, pages, v1 = false, enricher = NoopEnricher)
+        .map(_._1.graph))
+    assert(noop == base)
+
+    // 2. a real enricher: per-partition open() counted, entities added BEFORE
+    // dedup (an enriched duplicate of an existing entity must NOT double)
+    CountingEnricher.opened.set(0)
+    val enriched = Pipeline.docGraphsWithPartition(spark, pages, v1 = false, enricher = CountingEnricher)
+      .map(_._1.graph).collect()
+    assert(CountingEnricher.opened.get() >= 1)
+    assert(enriched.forall(_.nodes.count(_.content.equalsIgnoreCase("enriched topic")) == 1))
+    assert(enriched.forall(_.nodes.exists(n =>
+      n.content == "Enriched Topic" && n.confidence == 0.9)))
   }
 
   test("metrics rows account for every processed doc") {

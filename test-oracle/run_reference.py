@@ -37,6 +37,7 @@ import enhanced_file_analyzer as efa            # noqa: E402
 import interview_processing_agent as ipa        # noqa: E402
 import needs_analysis_agent as naa              # noqa: E402
 import enhanced_hypergraph_builder_agent_v2 as hb2  # noqa: E402
+import hypergraph_builder_agent as hb1          # noqa: E402  (v1: J7/J9)
 
 FOLDER_RULES = {"01_jon_fortt": "interview", "00_tim_wolff": "financial"}
 
@@ -55,6 +56,52 @@ def route(customer_id, content_type):
         return FOLDER_RULES[customer_id]
     return {"interview_transcript": "interview",
             "financial_advice": "financial"}.get(content_type, "generic")
+
+
+class _UnknownType:
+    """Sentinel for node types absent from the v1 NodeType enum: equal only
+    to the same type string, never to a real enum member."""
+    def __init__(self, v): self.v = v
+    def __eq__(self, o): return isinstance(o, _UnknownType) and o.v == self.v
+    def __hash__(self): return hash(self.v)
+
+
+def v1_augment(result, text):
+    """Apply the v1 builder's J7 (co-occurrence edges) and J9 (confidence
+    smoothing) to the v2 graph using the reference's OWN methods
+    (hypergraph_builder_agent.py:267-285, 359-404, 465-486)."""
+    b1 = hb1.NeptuneHyperGraphBuilder()
+
+    def nt(s):
+        try:
+            return hb1.NodeType(s)
+        except ValueError:
+            return _UnknownType(s)
+
+    nodes = [types.SimpleNamespace(id=n['id'], content=n['content'],
+                                   type_str=n['node_type'],
+                                   node_type=nt(n['node_type']),
+                                   confidence=float(n['confidence']))
+             for n in result['hypernodes']]
+    edges = [types.SimpleNamespace(nodes=[e['source_node_id'], e['target_node_id']],
+                                   edge_type=e['edge_type'],
+                                   confidence=float(e['confidence']))
+             for e in result['hyperedges']]
+    for i, n1 in enumerate(nodes):
+        for n2 in nodes[i + 1:]:
+            if b1.should_create_cooccurrence_edge(n1, n2):
+                s = float(b1.calculate_cooccurrence_strength(n1, n2, {'raw_text': text}))
+                if s > 0.4:
+                    edges.append(types.SimpleNamespace(
+                        nodes=[n1.id, n2.id], edge_type='co_occurrence', confidence=s))
+    b1.calculate_confidence_scores({'nodes': nodes, 'edges': edges})
+    id2content = {n.id: n.content for n in nodes}
+    v1_nodes = [{'content': n.content, 'node_type': n.type_str,
+                 'confidence': n.confidence} for n in nodes]
+    v1_triples = [{'subj': id2content.get(e.nodes[0], ''), 'pred': e.edge_type,
+                   'obj': id2content.get(e.nodes[1], ''), 'confidence': e.confidence}
+                  for e in edges]
+    return v1_nodes, v1_triples
 
 
 def process_doc(url, customer_id, customer_name, raw):
@@ -96,9 +143,11 @@ def process_doc(url, customer_id, customer_name, raw):
                 'obj': id2content.get(e['target_node_id'], ''),
                 'confidence': float(e['confidence'])}
                for e in result['hyperedges']]
+    v1_nodes, v1_triples = v1_augment(result, text)
     return {'url': url, 'customer_id': customer_id, 'routed': routed,
             'extracted_text_sha': __import__('hashlib').sha256(text.encode()).hexdigest(),
-            'nodes': nodes, 'triples': triples}
+            'nodes': nodes, 'triples': triples,
+            'v1_nodes': v1_nodes, 'v1_triples': v1_triples}
 
 
 def main():
