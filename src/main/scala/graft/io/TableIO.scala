@@ -15,6 +15,22 @@ trait TableIO {
   def append(df: DataFrame, table: String, partitionBy: Seq[String] = Nil): Unit
   def read(spark: SparkSession, table: String): DataFrame
   def exists(table: String): Boolean
+
+  /** Atomic run-commit protocol (resume safety): every pipeline row carries
+    * a run_id; a run becomes VISIBLE only once its commit marker exists —
+    * one atomic file-create after all appends (with Iceberg this collapses
+    * into the snapshot commit). A crash mid-run leaves orphan rows with an
+    * uncommitted run_id that every reader filters out, so resume can safely
+    * reprocess those urls without duplicating data.
+    */
+  def commit(runId: String): Unit
+  def committedRuns(): Set[String]
+
+  /** Read a table with uncommitted (crashed-run) rows filtered out. */
+  def readCommitted(spark: SparkSession, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    read(spark, table).where(col("run_id").isin(committedRuns().toSeq: _*))
+  }
 }
 
 /** Parquet-under-warehouse implementation (the environment default). */
@@ -31,6 +47,19 @@ final class ParquetTableIO(warehouse: String) extends TableIO {
 
   override def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()
+
+  override def commit(runId: String): Unit = {
+    val dir = java.nio.file.Paths.get(warehouse, "_commits")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve(runId),
+      java.lang.Long.toString(System.currentTimeMillis()).getBytes("UTF-8"))
+  }
+
+  override def committedRuns(): Set[String] = {
+    val dir = new java.io.File(s"$warehouse/_commits")
+    if (!dir.exists()) Set.empty
+    else dir.listFiles().map(_.getName).toSet
+  }
 }
 
 /** Exports (SURVEY §2.1 S11 — neptune_customer_graph_reader.py:376-440):

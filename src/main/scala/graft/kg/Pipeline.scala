@@ -116,7 +116,10 @@ object Pipeline {
     val tio: graft.io.TableIO = new graft.io.ParquetTableIO(outDir)
     val todo: Dataset[Page] =
       if (resume && outDir.nonEmpty && tio.exists("lineage")) {
-        val done = tio.read(spark, "lineage")
+        // only COMMITTED runs count as done — a run that crashed between its
+        // data appends and its commit marker is invisible here, so its urls
+        // are reprocessed and the orphan rows stay filtered out of reads
+        val done = tio.readCommitted(spark, "lineage")
           .where($"status" === "done").select($"url").distinct()
         pages.join(done, Seq("url"), "left_anti").as[Page]
       } else pages
@@ -129,6 +132,7 @@ object Pipeline {
       val g = o.graph
       g.nodes.map(n => (g.customerId, g.url, n.id, n.content, n.nodeType, n.confidence, n.source))
     }.toDF("customer_id", "url", "node_id", "content", "node_type", "confidence", "source_file")
+      .withColumn("run_id", lit(runId))
 
     val edgeRows = graphs.flatMap { case (o, _, _) =>
       val g = o.graph
@@ -136,8 +140,10 @@ object Pipeline {
         e.evidence, e.reasoning))
     }.toDF("customer_id", "url", "edge_id", "source_node_id", "target_node_id",
       "relationship_type", "weight", "evidence", "reasoning")
+      .withColumn("run_id", lit(runId))
 
     val tripleRows = graphs.flatMap { case (o, _, _) => GraphBuild.triples(o.graph) }.toDF()
+      .withColumn("run_id", lit(runId))
 
     // ---- canonicalization (J10): merge same-key entities across documents;
     // alias dictionary optional. Canonical id = persisted sha256 id of the
@@ -148,7 +154,17 @@ object Pipeline {
         Canonicalize.canonicalKeys(spark, keyed.select($"key"), al)
       case _ => keyed.select($"key").distinct().select($"key", $"key".as("canonical_key"))
     }
-    val canonNodes = keyed.join(canon, Seq("key"))
+    // Hub-key skew (e.g. one org in a third of all docs): the canonical map
+    // is keyed on DISTINCT entity keys — vocabulary-sized, orders of
+    // magnitude below the corpus — so broadcast it whenever it fits; the
+    // node side then never shuffles and per-key skew is moot. Past the
+    // limit (override: spark conf graft.canon.broadcastMaxKeys) fall back
+    // to the shuffle join, where AQE's skew-join splitting (enabled in all
+    // entry points) handles the hub keys.
+    val broadcastMaxKeys =
+      spark.conf.getOption("graft.canon.broadcastMaxKeys").map(_.toLong).getOrElse(2000000L)
+    val canonSide = if (canon.count() <= broadcastMaxKeys) broadcast(canon) else canon
+    val canonNodes = keyed.join(canonSide, Seq("key"))
       .withColumn("canonical_id",
         concat(lit("canon_"), substring(sha2($"canonical_key", 256), 1, 16)))
       .drop("key", "canonical_key")
@@ -183,13 +199,15 @@ object Pipeline {
     }
 
     if (outDir.nonEmpty) {
-      // all writes go through the TableIO seam (Iceberg-ready, SURVEY §7.0)
+      // all writes go through the TableIO seam (Iceberg-ready, SURVEY §7.0);
+      // the terminal commit marker makes the whole run visible atomically
       tio.append(canonNodes, "nodes", Seq("node_type"))
       tio.append(edgeRows, "edges")
       tio.append(tripleRows, "triples")
       tio.append(metrics, "metrics")
       tio.append(lineage, "lineage")
       linkMetrics.foreach(tio.append(_, "link_metrics"))
+      tio.commit(runId)
     }
     graphs.unpersist()
     RunResult(canonNodes, edgeRows, tripleRows, metrics, lineage, linkMetrics)

@@ -163,5 +163,14 @@ object Needs {
       confidence = 0.3)
   }
 
-  def profile(doc: DocAnalysis): NeedsProfile = deterministicProfile(doc.url, doc.routedPath)
+  /** Themes pass-through mirrors the reference call chain (needs agent gets
+    * content_data['themes'] = the doc's extracted main_themes,
+    * needs_analysis_agent.py:895-905 → get_content_aware_scores theme
+    * adjustments). The derivable theme values (professional_experience /
+    * relationships, interview_processing_agent.py:186-192) never match the
+    * adjustment keywords, so scores are unchanged on the deterministic path
+    * — but the plumbing is live and parity-tracked should derivation change.
+    */
+  def profile(doc: DocAnalysis): NeedsProfile =
+    deterministicProfile(doc.url, doc.routedPath, doc.insights.themes)
 }

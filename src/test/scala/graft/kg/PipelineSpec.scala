@@ -51,6 +51,37 @@ class PipelineSpec extends SparkSpec {
     assert(lineageDupes == 0)
   }
 
+  test("crash before commit marker: orphan rows invisible, resume reprocesses without duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString + "/t"
+    val all = Corpus.pages(spark, 100, partitions = 4)
+
+    // clean single run = the expected final state
+    val ref = s"$dir-ref"
+    Pipeline.run(spark, all, "r", ref)
+    val tioRef = new graft.io.ParquetTableIO(ref)
+    val want = tioRef.readCommitted(spark, "triples")
+      .select("url", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).sorted.toSeq
+
+    // run1 "crashes" after data+lineage appends but BEFORE the commit marker
+    Pipeline.run(spark, all.filter(_.url.hashCode % 2 == 0), "run1", dir)
+    val marker = java.nio.file.Paths.get(dir, "_commits", "run1")
+    assert(java.nio.file.Files.deleteIfExists(marker)) // simulate the crash window
+    val tio = new graft.io.ParquetTableIO(dir)
+    assert(tio.committedRuns().isEmpty)
+
+    // resume with the FULL set: run1's urls must be reprocessed (its lineage
+    // is uncommitted) and committed reads must contain NO duplicates
+    Pipeline.run(spark, all, "run2", dir, resume = true)
+    val got = tio.readCommitted(spark, "triples")
+      .select("url", "subj", "pred", "obj").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).sorted.toSeq
+    assert(got == want)
+    // raw table DOES contain run1 orphans — proving the filter is what saves us
+    assert(tio.read(spark, "triples").count() > got.size)
+  }
+
   test("enrichment seam (§2.9): no-op default is identity; a plugged enricher adds entities pre-dedup") {
     import spark.implicits._
     val pages = Corpus.pages(spark, 40, partitions = 2)
@@ -74,6 +105,28 @@ class PipelineSpec extends SparkSpec {
     assert(enriched.forall(_.nodes.count(_.content.equalsIgnoreCase("enriched topic")) == 1))
     assert(enriched.forall(_.nodes.exists(n =>
       n.content == "Enriched Topic" && n.confidence == 0.9)))
+  }
+
+  test("nodes⋈canon join broadcasts the distinct-key map (hub-skew shape); fallback works") {
+    val pages = Corpus.pages(spark, 80, partitions = 4) // ~1/3 of interview docs carry the hub org
+    // disable the optimizer's size-based auto-broadcast so the assertion
+    // proves OUR explicit hint, not a small-table accident
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val res = Pipeline.run(spark, pages, "bc", "")
+      val plan = res.nodes.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"canon map should broadcast (node side must not shuffle):\n$plan")
+      // force the fallback: broadcast cap 0 → shuffle join (AQE skew-split territory)
+      spark.conf.set("graft.canon.broadcastMaxKeys", "0")
+      val res2 = Pipeline.run(spark, pages, "bc2", "")
+      val plan2 = res2.nodes.queryExecution.executedPlan.toString
+      assert(!plan2.contains("BroadcastHashJoin"))
+      assert(res2.nodes.count() == res.nodes.count())
+    } finally {
+      spark.conf.unset("graft.canon.broadcastMaxKeys")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("metrics rows account for every processed doc") {

@@ -119,7 +119,10 @@ def process_doc(url, customer_id, customer_name, raw):
 
     needs_ct = {"interview": "interview_transcript",
                 "financial": "financial_advice"}.get(routed, "unknown")
-    needs = naa.analyze_human_needs(text, needs_ct, [], [])
+    # themes pass-through mirrors the deployed call chain (content_data
+    # ['themes'] = key_insights main_themes, needs_analysis_agent.py:895-905)
+    needs = naa.analyze_human_needs(text, needs_ct,
+                                    insights.get('main_themes', []), entities)
 
     analysis_data = {
         'processing_config': {
