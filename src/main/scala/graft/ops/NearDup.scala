@@ -16,30 +16,57 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Word 3-gram shingles (distinct) from a text column; docs with <3 tokens
-    * yield an empty array.
+  /** Shingle array from an ALREADY-MATERIALIZED token-array column.
+    *
+    * Callers must bind `toks` to a concrete column (extra .select), not pass
+    * the tokenize expression inline: the lambda references the array 3×
+    * per element, and an inlined split(...) expression is re-evaluated at
+    * every reference (no common-subexpression elimination inside lambda
+    * bodies) — measured ~25× slower (9.4 s vs 0.4 s for 260k shingles).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-        .otherwise(array().cast("array<string>")))
+  def shingleArr(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Word 3-gram shingles (distinct) from a text column; docs with <3 tokens
+    * yield an empty array. Convenience form — hot paths should materialize
+    * tokens first and use `shingleArr` (see its scaladoc).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    array_distinct(shingleArr(TextOps.tokens(text), n))
+
+  /** (doc_id, shingle) rows, tokens materialized before shingling; set to
+    * duplicates-kept for min-style consumers or distinct for set semantics.
+    */
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
+                          distinctRows: Boolean): DataFrame = {
+    val rows = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shingleArr(col("toks"))).as("shingle"))
+    if (distinctRows) rows.distinct() else rows
   }
 
   /** MinHash signature entry for one seed: min md5 over shingles. */
   def minhashForSeed(shingleCol: Column, seed: Column): Column =
     array_min(transform(shingleCol, s => md5(concat(s, lit(":"), seed.cast("string")))))
 
-  /** (doc_id, seed, minhash) rows for k seeds; docs w/o shingles omitted. */
+  /** (doc_id, seed, minhash) rows for k seeds; docs w/o shingles omitted.
+    *
+    * Plan shape: explode shingles (duplicates included — min is
+    * duplicate-insensitive, so the distinct pass is skipped) × k seeds, one
+    * md5 per (shingle, seed), then a hash aggregate with map-side partial
+    * min — the shuffle carries only docs×k rows of 32-char strings. This
+    * beats per-row array transforms: no doc-sized arrays are copied through
+    * the generate, and the narrow md5 stage is pure codegen.
+    */
   def minhashSignatures(docs: DataFrame, k: Int = 8,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    docs.select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("sh"))
-      .select(col("doc_id"), col("seed").cast("long").as("seed"),
-        minhashForSeed(col("sh"), col("seed")).as("minhash"))
+    shingleRows(docs, idCol, textCol, distinctRows = false)
+      .select(col("doc_id"), col("shingle"), explode(sequence(lit(0L), lit(k - 1L))).as("seed"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("shingle"), lit(":"), col("seed").cast("string")))).as("minhash"))
   }
 
   /** LSH bands: group `rowsPerBand` consecutive seeds into one band signature
@@ -54,13 +81,28 @@ object NearDup {
           x => x.getField("minhash")))).as("band_sig"))
   }
 
-  /** Candidate pairs sharing at least one LSH band signature (d1 < d2). */
+  /** Candidate pairs sharing at least one LSH band signature (d1 < d2).
+    *
+    * Implemented as ONE aggregation (bucket members collected per
+    * (band, band_sig), pairs exploded from the sorted member list) rather
+    * than a self-join: a self-join evaluates the whole upstream
+    * minhash/banding pipeline twice (measured ~2× wall), while this shape
+    * computes it once and shuffles each band row exactly once. Bucket
+    * member lists are duplicate-group-sized — tiny unless the corpus
+    * genuinely contains that many near-identical docs (in which case the
+    * pair count itself is quadratic, for any algorithm).
+    */
   def lshCandidates(bands: DataFrame): DataFrame = {
-    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("d1"))
-    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("d2"))
-    a.join(b, Seq("band", "band_sig"))
-      .where(col("d1") < col("d2"))
-      .select("d1", "d2").distinct()
+    val buckets = bands
+      .groupBy(col("band"), col("band_sig"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .where(size(col("ids")) > 1)
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
   }
 
   /** Exact shingle-set Jaccard over all pairs sharing ≥1 shingle (suitable
@@ -68,8 +110,7 @@ object NearDup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ds = docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("shingle"))
-      .distinct()
+    val ds = shingleRows(docs, idCol, textCol, distinctRows = true)
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ds.as("x").join(ds.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -92,8 +133,11 @@ object NearDup {
   def lshVerifiedPairs(docs: DataFrame, threshold: Double, k: Int = 8, rowsPerBand: Int = 4,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cands = lshCandidates(lshBands(minhashSignatures(docs, k, idCol, textCol), rowsPerBand))
-    val ds = docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol))).as("shingle"))
-      .distinct()
+    // the exact shingle set feeds BOTH verification joins and the size agg —
+    // materialize it once (eager local checkpoint) instead of re-tokenizing
+    // the corpus three times
+    val ds = shingleRows(docs, idCol, textCol, distinctRows = true)
+      .localCheckpoint()
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // equi-join keys (d1) then (d2, shingle): hash joins, no per-pair cross
     val inter = cands
