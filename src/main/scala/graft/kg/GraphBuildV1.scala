@@ -84,6 +84,36 @@ object GraphBuildV1 {
     (newNodes, newEdges)
   }
 
+  final case class V1Node(id: String, nodeType: String, label: String, meta: String)
+
+  /** U5 — label-exclusion node assembly (v1 build_hypergraph fallback,
+    * hypergraph_builder_agent.py:857-915): need nodes append
+    * unconditionally (need_{name}, Title label, score-banded strength);
+    * theme / behavioral-pattern / personality-trait nodes append only when
+    * the label is not already present among ALL prior labels —
+    * case-sensitive, CROSS-type (unlike v2's (text,type)-keyed dedup),
+    * insertion order, ids numbered by the source index even when skipped.
+    */
+  def needsHypernodes(needsScores: Seq[(String, Double)], themes: Seq[String],
+                      patterns: Seq[String], traits: Seq[String],
+                      existingLabels: Seq[String] = Nil): Seq[V1Node] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[V1Node]
+    val labels = scala.collection.mutable.ArrayBuffer(existingLabels: _*)
+    def add(n: V1Node): Unit = { out += n; labels += n.label }
+    for ((name, score) <- needsScores)
+      add(V1Node(s"need_$name", "need", PyText.title(name),
+        if (score > 0.6) "high" else if (score > 0.4) "medium" else "low"))
+    for ((theme, i) <- themes.zipWithIndex if theme.nonEmpty && !labels.contains(theme))
+      add(V1Node(s"theme_$i", "theme", theme,
+        if (Seq("business", "leadership", "strategy").exists(PyText.lower(theme).contains(_)))
+          "professional" else "personal"))
+    for ((p, i) <- patterns.zipWithIndex if p.nonEmpty && !labels.contains(p))
+      add(V1Node(s"pattern_$i", "behavioral_pattern", p, "high"))
+    for ((t, i) <- traits.zipWithIndex if t.nonEmpty && !labels.contains(t))
+      add(V1Node(s"trait_$i", "personality_trait", t, "stable"))
+    out.toSeq
+  }
+
   /** The opt-in v1 composition over a document. */
   def buildV1(doc: DocAnalysis, needs: NeedsProfile): DocGraph = {
     val g = GraphBuild.build(doc, needs)
