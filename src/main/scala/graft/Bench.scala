@@ -100,13 +100,15 @@ object Bench {
 
     def quiet(): Boolean = {
       lastSpin = spinProbe(hi); bestSpin = math.min(bestSpin, lastSpin)
-      lastSpin <= bestSpin * 1.4
+      // 1.25× of the best observed spin: tighter than round-1's 1.4× — a
+      // 40% steal level passed the old gate and inflated accepted samples
+      lastSpin <= bestSpin * 1.25
     }
     /** One gated sample: only accepted if the box was quiet immediately
       * before AND after the run (a burst mid-run inflates the time).
       */
     def sample(cores: Int): Option[Double] = {
-      if (!quiet()) { rejected += 1; Thread.sleep(8000); return None }
+      if (!quiet()) { rejected += 1; Thread.sleep(5000); return None }
       val s = session(cores)
       kgRun(s, cores, 5000) // warm this session (JIT + codegen + first-job)
       val t = kgRun(s, cores, n)
@@ -116,14 +118,14 @@ object Bench {
 
     var pairs = 0
     var stalePairs = 0
-    while (pairs < maxRepeats && stalePairs < 2 && System.nanoTime() < deadline) {
+    while (pairs < maxRepeats && stalePairs < 3 && System.nanoTime() < deadline) {
       val prevLo = bestLo; val prevHi = bestHi
       sample(lo).foreach { t => bestLo = math.min(bestLo, t); acceptedLo += 1 }
       sample(hi).foreach { t => bestHi = math.min(bestHi, t); acceptedHi += 1 }
       if (acceptedLo > 0 && acceptedHi > 0) {
         pairs += 1
         val improved = bestLo < prevLo * 0.98 || bestHi < prevHi * 0.98
-        if (pairs >= 2) { if (improved) stalePairs = 0 else stalePairs += 1 }
+        if (pairs >= 3) { if (improved) stalePairs = 0 else stalePairs += 1 }
       }
     }
 
@@ -170,11 +172,18 @@ object Bench {
     headline.foreach { name =>
       try SparkEntry.queries(name)(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // min of 3 repeats per query: the host has bursty CPU steal and a single
+    // timed shot can be 10-60× inflated; the minimum measures the machine
+    val headlineRepeats = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_REPEATS", "3").toInt
     val results = headline.map { name =>
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to headlineRepeats).flatMap { _ =>
+        try {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case _: Throwable => None }
+      }
+      name -> (if (times.nonEmpty) times.min else -1.0)
     }
     spark.stop()
 
@@ -182,8 +191,12 @@ object Bench {
     // N=4 and 4N=16 cores. 4/16 rather than 8/32 because this box has 16
     // physical cores + SMT: 8→32 is capped near 2.9× by hardware even for a
     // pure spin loop, while 4→16 stays on physical cores.
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "400000").toLong
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "8").toInt
+    // 250k (not 400k): short samples are hit by fewer steal bursts, so more
+    // gated samples land per budget and the per-level minimum converges to
+    // the quiet-window value; still long enough (~6-8 s at N=4) that fixed
+    // job overhead stays <5% of the measurement.
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "250000").toLong
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "12").toInt
     val sr = kgScaling(4, 16, scaleDocs, repeats)
     val efficiency = (sr.tLo / sr.tHi) / 4.0
 

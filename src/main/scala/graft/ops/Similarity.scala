@@ -26,17 +26,26 @@ object Similarity {
 
   /** Brute-force top-k cosine neighbors for a set of query ids.
     * Output: (query_id, neighbor_id, cos_sim rounded to 6dp, rank).
+    *
+    * Norms are materialized ONCE per vector before the pairwise stage —
+    * higher-order array functions don't get common-subexpression
+    * elimination, so an inline cosine(q, n) would re-fold both norms per
+    * PAIR (Q× redundant work on the big side). The per-pair cost is then
+    * one dot product. Same IEEE result: identical folds over identical
+    * arrays, just evaluated earlier.
     */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
                      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val base = embeddings.select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
+      .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
     val queries = embeddings
       .where(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("qid"), asDouble(col(embCol)).as("qemb"))
+      .select(col("qid"), col("qemb"), norm(col("qemb")).as("qnorm"))
     val scored = base.crossJoin(broadcast(queries))
       .where(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
+        round(dot(col("qemb"), col("nemb")) / (col("qnorm") * col("nnorm")), 6).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
@@ -49,13 +58,14 @@ object Similarity {
     when(pmod(i * 31 + lit(j * 17), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
 
   /** Sign-hyperplane LSH bucket id for one hash table: bit j =
-    * sign(Σ_i emb[i]·c(i, table·planes + j)).
+    * sign(Σ_i emb[i]·c(i, table·planes + j)). `emb` must already be a
+    * DOUBLE array bound to a column (callers materialize via asDouble once —
+    * an inline cast transform would re-run per plane, no CSE in lambdas).
     */
   def lshBucket(emb: Column, planes: Int, table: Int): Column = {
-    val e = asDouble(emb)
     (0 until planes).map { j =>
       val s = aggregate(
-        zip_with(e, sequence(lit(0), size(e) - 1), (x, i) => x * coef(i, table * planes + j)),
+        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) => x * coef(i, table * planes + j)),
         lit(0.0), (acc, x) => acc + x)
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -71,19 +81,25 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
               planes: Int = 6, tables: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    // materialize the double-cast embedding + norm once per vector; all
+    // tables×planes bucket folds then read the bound array instead of
+    // re-running the cast transform per plane (no CSE inside array lambdas)
+    val mat = embeddings
+      .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
+      .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
     val bucketCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col(embCol), planes, t).as("b")).as(s"bk$t"))
-    val withBuckets = embeddings.select(
-      (Seq(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb")) :+
+      struct(lit(t).as("t"), lshBucket(col("nemb"), planes, t).as("b")).as(s"bk$t"))
+    val withBuckets = mat.select(
+      (Seq(col("nid"), col("nemb"), col("nnorm")) :+
         explode(array(bucketCols: _*)).as("bucket")): _*)
     val q2 = withBuckets.where(col("nid").isin(queryIds: _*))
-      .select(col("nid").as("qid"), col("nemb").as("qemb"), col("bucket"))
+      .select(col("nid").as("qid"), col("nemb").as("qemb"), col("nnorm").as("qnorm"), col("bucket"))
     val cand = withBuckets.join(broadcast(q2), Seq("bucket"))
       .where(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), col("qemb"), col("nemb"))
+      .select(col("qid"), col("nid"), col("qemb"), col("qnorm"), col("nemb"), col("nnorm"))
       .dropDuplicates("qid", "nid")
     val scored = cand.select(col("qid"), col("nid"),
-      round(cosine(col("qemb"), col("nemb")), 6).as("cos_sim"))
+      round(dot(col("qemb"), col("nemb")) / (col("qnorm") * col("nnorm")), 6).as("cos_sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
