@@ -272,6 +272,10 @@ object SparkEntry {
       Similarity.lshTopK(t(s, dir, "embeddings"), queryIds = 0L until 8L, k = 5)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")),
 
+    "q35_ann_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), queryIds = 0L until 8L, k = 5)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")),
+
     "q26_simhash" -> ((s, dir) => NearDup.simhashDF(t(s, dir, "documents"))),
 
     "q34_neardup_lsh_verified" -> ((s, dir) =>
@@ -661,6 +665,31 @@ object SparkEntry {
                   WHERE b.vec_id <> q.qid),
          sc AS (SELECT c.qid, c.nid, round(list_cosine_similarity(eq.emb, en.emb), 6) AS cos_sim
                 FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e en ON en.vec_id = c.nid),
+         r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk FROM sc)
+         SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5""",
+
+    // IVF-Flat ANN: deterministic coarse centroids (first 16 vectors),
+    // nearest-centroid inverted lists, nprobe=4 probe, exact re-rank — every
+    // stage ordered on (rounded cosine, id) so the SQL reconstruction is exact.
+    "q35_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+         a0 AS (SELECT e.vec_id AS nid, c.cid,
+                  round(list_cosine_similarity(e.emb, c.cemb), 6) AS ccos
+                FROM e CROSS JOIN c),
+         a AS (SELECT nid, cid FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS rn
+                 FROM a0) WHERE rn = 1),
+         p0 AS (SELECT e.vec_id AS qid, c.cid,
+                  round(list_cosine_similarity(e.emb, c.cemb), 6) AS ccos
+                FROM e CROSS JOIN c WHERE e.vec_id < 8),
+         p AS (SELECT qid, cid FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, cid) AS rn
+                 FROM p0) WHERE rn <= 4),
+         sc AS (SELECT p.qid, a.nid, round(list_cosine_similarity(eq.emb, en.emb), 6) AS cos_sim
+                FROM p JOIN a ON p.cid = a.cid
+                JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = a.nid
+                WHERE a.nid <> p.qid),
          r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk FROM sc)
          SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5""",
 

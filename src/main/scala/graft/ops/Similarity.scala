@@ -78,6 +78,56 @@ object Similarity {
     * higher recall at linear candidate cost; at 10⁹ vectors each table join
     * touches only |bucket| ≈ N/2^planes rows per query.
     */
+  /** IVF-Flat approximate top-k: a coarse quantizer (deterministic centroid
+    * set — the first `centroids` vectors by id; production would train them
+    * offline) partitions vectors into inverted lists by nearest-centroid
+    * assignment; a query probes only its `nprobe` closest centroids' lists
+    * and re-ranks those candidates exactly. At 10⁹ vectors each query
+    * touches ≈ nprobe/centroids of the data, and the assignment pass is one
+    * broadcast join over the corpus (no shuffle of the big side until the
+    * tiny candidate set). Complements lshTopK: IVF gives tunable recall via
+    * nprobe; LSH gives constant-time bucketing.
+    *
+    * All orderings tie-break on (rounded cosine desc, id asc), so results
+    * are deterministic and engine-portable (the DuckDB oracle reconstructs
+    * the same assignment, probe, and re-rank).
+    */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+              centroids: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val mat = embeddings
+      .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
+      .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
+    val cents = mat.where(col("nid") < centroids)
+      .select(col("nid").as("cid"), col("nemb").as("cemb"), col("nnorm").as("cnorm"))
+    // inverted lists: every vector → its nearest centroid (broadcast join)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("nid")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = mat.crossJoin(broadcast(cents))
+      .select(col("nid"), col("nemb"), col("nnorm"), col("cid"),
+        round(dot(col("nemb"), col("cemb")) / (col("nnorm") * col("cnorm")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
+      .select(col("nid"), col("nemb"), col("nnorm"), col("cid"))
+    // query probe lists: nprobe nearest centroids per query vector
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
+    val probes = mat.where(col("nid").isin(queryIds: _*))
+      .select(col("nid").as("qid"), col("nemb").as("qemb"), col("nnorm").as("qnorm"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("qemb"), col("qnorm"), col("cid"),
+        round(dot(col("qemb"), col("cemb")) / (col("qnorm") * col("cnorm")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(wProbe)).where(col("rn") <= nprobe)
+      .select(col("qid"), col("qemb"), col("qnorm"), col("cid"))
+    // candidates = union of the probed inverted lists; exact re-rank
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .where(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qemb"), col("nemb")) / (col("qnorm") * col("nnorm")), 6).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
               planes: Int = 6, tables: Int = 4,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {

@@ -108,6 +108,24 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.4, s"LSH recall $recall too low; bf=$bf lsh=$lsh")
   }
 
+  test("IVF top-k: in-cluster candidates, full recall when probing all lists") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 100).map { i =>
+      val base = if (i % 2 == 0) Array.fill(16)(1.0f) else Array.fill(16)(-1.0f)
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.1f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 5).collect().map(_.getLong(1)).toSet
+    val ivf = Similarity.ivfTopK(emb, Seq(0L), k = 5, centroids = 8, nprobe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(ivf.nonEmpty && ivf.forall(_ % 2 == 0), s"cross-cluster neighbor in $ivf")
+    // probing EVERY inverted list makes IVF exhaustive → identical to brute force
+    val full = Similarity.ivfTopK(emb, Seq(0L), k = 5, centroids = 8, nprobe = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(full == bf, s"nprobe=centroids must equal brute force: $full vs $bf")
+  }
+
   test("multimodal: PNG/JPEG/WAV header decoders recover the encoded values") {
     assert(Multimodal.decodePng(Multimodal.pngBytes(7L, 640, 480)) == Some((640, 480)))
     // JPEG parser must WALK past APP0 to the SOF segment
