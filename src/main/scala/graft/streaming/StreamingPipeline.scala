@@ -47,4 +47,27 @@ object StreamingPipeline {
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Custom-state streaming dedup (flatMapGroupsWithState): emit a document
+    * only the FIRST time its content fingerprint is seen across micro-batches
+    * — the training-data-pipeline dedup shape with explicit state control
+    * (unlike dropDuplicates, the state is ours: at 100 TB a
+    * ProcessingTimeTimeout would bound it to a retention horizon; kept
+    * NoTimeout here so the exactly-once contract is easy to test).
+    * Within one batch the min doc_id wins (deterministic).
+    */
+  def firstSeenDedup(docs: Dataset[(String, Long)]): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (fp: String, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((fp, rows.map(_._2).min))
+          }
+      }
+  }
 }

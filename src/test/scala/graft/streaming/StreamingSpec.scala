@@ -30,6 +30,25 @@ class StreamingSpec extends SparkSpec {
     assert(again == streamed.size.toLong)
   }
 
+  test("flatMapGroupsWithState first-seen dedup: state persists across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingPipeline.firstSeenDedup(input.toDS())
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    // batch 1: fingerprint A twice (ids 3,1 → min wins), B once
+    input.addData(("A", 3L), ("A", 1L), ("B", 2L))
+    q.processAllAvailable()
+    // batch 2: A again (must be suppressed by state), new C
+    input.addData(("A", 4L), ("C", 5L))
+    q.processAllAvailable()
+    val out = spark.sql("select * from dedup").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    assert(out == Set(("A", 1L), ("B", 2L), ("C", 5L)))
+  }
+
   test("watermarked windowed event counts run in a micro-batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev").toString
