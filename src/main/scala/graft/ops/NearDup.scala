@@ -48,10 +48,6 @@ object NearDup {
     if (distinctRows) rows.distinct() else rows
   }
 
-  /** MinHash signature entry for one seed: min md5 over shingles. */
-  def minhashForSeed(shingleCol: Column, seed: Column): Column =
-    array_min(transform(shingleCol, s => md5(concat(s, lit(":"), seed.cast("string")))))
-
   /** (doc_id, seed, minhash) rows for k seeds; docs w/o shingles omitted.
     *
     * Plan shape: explode shingles (duplicates included — min is

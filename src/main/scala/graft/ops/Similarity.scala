@@ -21,8 +21,9 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  // cosine(a, b) = dot(a,b)/(norm(a)·norm(b)) — always composed from
+  // MATERIALIZED norms at call sites (see bruteForceTopK scaladoc), never
+  // inlined, so no convenience wrapper is exposed.
 
   /** Brute-force top-k cosine neighbors for a set of query ids.
     * Output: (query_id, neighbor_id, cos_sim rounded to 6dp, rank).
