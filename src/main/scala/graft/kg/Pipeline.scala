@@ -149,11 +149,14 @@ object Pipeline {
     // alias dictionary optional. Canonical id = persisted sha256 id of the
     // canonical key (graph_extraction_agent.py:510-519 pattern).
     val keyed = nodeRows.withColumn("key", lower($"content"))
-    val canon = aliases match {
+    // localCheckpoint: the canonical map feeds BOTH the broadcast-size count
+    // and the join build side — materialize the distinct pass once instead
+    // of re-running it per consumer
+    val canon = (aliases match {
       case Some(al) if !al.isEmpty =>
         Canonicalize.canonicalKeys(spark, keyed.select($"key"), al)
       case _ => keyed.select($"key").distinct().select($"key", $"key".as("canonical_key"))
-    }
+    }).localCheckpoint()
     // Hub-key skew (e.g. one org in a third of all docs): the canonical map
     // is keyed on DISTINCT entity keys — vocabulary-sized, orders of
     // magnitude below the corpus — so broadcast it whenever it fits; the

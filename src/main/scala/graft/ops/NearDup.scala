@@ -88,11 +88,16 @@ object NearDup {
     * genuinely contains that many near-identical docs (in which case the
     * pair count itself is quadratic, for any algorithm).
     */
-  def lshCandidates(bands: DataFrame): DataFrame = {
+  def lshCandidates(bands: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
     val buckets = bands
       .groupBy(col("band"), col("band_sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .where(size(col("ids")) > 1)
+      // maxBucket guardrail for 100 TB runs: a bucket of N near-identical
+      // docs yields N²/2 pairs whatever the algorithm — exact dedup (q12)
+      // should remove identical content FIRST; capping here bounds a single
+      // aggregation row if a mega-cluster slips through. Default unlimited
+      // (oracle-exact).
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
