@@ -17,10 +17,13 @@ object Similarity {
   /** Cast float embedding to double for portable arithmetic. */
   def asDouble(emb: Column): Column = transform(emb, x => x.cast("double"))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd dot product (custom Catalyst expression — identical addition
+    * order to the aggregate/zip_with fold it replaced, so results are
+    * bit-identical; the HOF fold ran interpreted).
+    */
+  def dot(a: Column, b: Column): Column = graft.expr.GraftExpressions.dot_product(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
   // cosine(a, b) = dot(a,b)/(norm(a)·norm(b)) — always composed from
   // MATERIALIZED norms at call sites (see bruteForceTopK scaladoc), never
   // inlined, so no convenience wrapper is exposed.

@@ -44,6 +44,40 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(df.where(length($"t") >= 0).count() == 5)
   }
 
+  test("graft_dot: bit-identical to the HOF fold, codegen'd, SQL-registered") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1), Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val hof = df.select($"id",
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expr = df.select($"id", GraftExpressions.dot_product($"a", $"b").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(expr == hof) // exact double equality: same addition order
+    // inside whole-stage codegen: Range source (a local Seq constant-folds to
+    // LocalTableScan) and CreateArray inputs (a transform() HOF in the SAME
+    // projection would force the whole Project out of codegen — which is
+    // exactly why graft_dot exists)
+    val arr = array((0 until 8).map(i => ($"id" + i).cast("double")): _*)
+    val plan = spark.range(10)
+      .select(GraftExpressions.dot_product(arr, arr).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("graft_dot") && l.trim.startsWith("*(")),
+      s"graft_dot not inside a codegen stage:\n$plan")
+    // SQL registration
+    GraftExpressions.register(spark)
+    df.createOrReplaceTempView("vecs_v")
+    val viaSql = spark.sql("SELECT id, graft_dot(a, b) AS d FROM vecs_v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaSql == hof)
+    // null rows propagate null
+    val withNull = spark.sql("SELECT graft_dot(CAST(NULL AS ARRAY<DOUBLE>), a) AS d FROM vecs_v LIMIT 1").collect()
+    assert(withNull.head.isNullAt(0))
+  }
+
   test("type checking rejects wrong input types") {
     import spark.implicits._
     val df = Seq(1, 2).toDF("x")
