@@ -55,22 +55,25 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
-  /** Deterministic ±1 hyperplane coefficient for (dim i, plane j) — portable
-    * (no RNG): +1 when (31·i + 17·j) is even.
+  /** Deterministic ±1 hyperplane vector for plane j over `dim` dimensions —
+    * portable (no RNG): +1 when (31·i + 17·j) is even. Computed driver-side
+    * and shipped as a LITERAL array, so the projection stays fully codegen'd
+    * (a zip_with/aggregate fold here would evict the whole Project from
+    * whole-stage codegen).
     */
-  private def coef(i: Column, j: Int): Column =
-    when(pmod(i * 31 + lit(j * 17), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+  def hyperplane(dim: Int, j: Int): Array[Double] =
+    Array.tabulate(dim)(i => if ((31 * i + 17 * j) % 2 == 0) 1.0 else -1.0)
 
   /** Sign-hyperplane LSH bucket id for one hash table: bit j =
-    * sign(Σ_i emb[i]·c(i, table·planes + j)). `emb` must already be a
-    * DOUBLE array bound to a column (callers materialize via asDouble once —
-    * an inline cast transform would re-run per plane, no CSE in lambdas).
+    * sign(graft_dot(emb, hyperplane(table·planes + j))). `emb` must already
+    * be a DOUBLE array bound to a column (callers materialize via asDouble
+    * once). Numerically identical to the previous fold form — same
+    * coefficients, same addition order.
     */
-  def lshBucket(emb: Column, planes: Int, table: Int): Column = {
+  def lshBucket(emb: Column, dim: Int, planes: Int, table: Int): Column = {
     (0 until planes).map { j =>
-      val s = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1), (x, i) => x * coef(i, table * planes + j)),
-        lit(0.0), (acc, x) => acc + x)
+      val s = graft.expr.GraftExpressions.dot_product(
+        emb, typedLit(hyperplane(dim, table * planes + j).toSeq))
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
@@ -141,8 +144,10 @@ object Similarity {
     val mat = embeddings
       .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
       .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
+    // fixed embedding dimension, peeked once (hyperplanes are literal arrays)
+    val dim = embeddings.select(size(col(embCol))).first().getInt(0)
     val bucketCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col("nemb"), planes, t).as("b")).as(s"bk$t"))
+      struct(lit(t).as("t"), lshBucket(col("nemb"), dim, planes, t).as("b")).as(s"bk$t"))
     val withBuckets = mat.select(
       (Seq(col("nid"), col("nemb"), col("nnorm")) :+
         explode(array(bucketCols: _*)).as("bucket")): _*)
