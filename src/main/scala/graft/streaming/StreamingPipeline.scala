@@ -25,12 +25,14 @@ object StreamingPipeline {
     * Exactly-once via checkpoint; AvailableNow drains what exists and stops.
     */
   def triplesStream(spark: SparkSession, pagesDir: String, outDir: String,
-                    checkpointDir: String): StreamingQuery = {
+                    checkpointDir: String, v1: Boolean = false,
+                    enricher: graft.kg.Enricher = graft.kg.NoopEnricher): StreamingQuery = {
     import spark.implicits._
     val schema = org.apache.spark.sql.Encoders.product[Page].schema
     val pages = spark.readStream.schema(schema).parquet(pagesDir).as[Page]
     val triples: Dataset[Triple] =
-      pages.mapPartitions(_.map(p => Pipeline.buildDoc(p))).flatMap(g => GraphBuild.triples(g))
+      pages.mapPartitions(_.map(p => Pipeline.buildDoc(p, v1, enricher)))
+        .flatMap(g => GraphBuild.triples(g))
     triples.writeStream
       .format("parquet")
       .option("path", outDir)
