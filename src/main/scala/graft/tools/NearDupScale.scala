@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.corpus.Corpus
+import graft.ops.NearDup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Near-dup scale check: the LSH-verified path over an n-doc synthetic
+  * corpus (10× the sf0.1 documents table by default) — proves the candidate
+  * path stays near-linear where the all-pairs join would be quadratic.
+  * Usage: runMain graft.tools.NearDupScale [nDocs]
+  */
+object NearDupScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(50000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val docs = Corpus.pages(spark, n, partitions = 128)
+      .select(monotonically_increasing_id().as("doc_id"), $"text")
+      .localCheckpoint()
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$name%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s  rows=$r")
+    }
+    time("minhash")(NearDup.minhashSignatures(docs).count())
+    time("lsh_candidates")(NearDup.lshCandidates(
+      NearDup.lshBands(NearDup.minhashSignatures(docs))).count())
+    time("lsh_verified")(NearDup.lshVerifiedPairs(docs, 0.8).count())
+    spark.stop()
+  }
+}
