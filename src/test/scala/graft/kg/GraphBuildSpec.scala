@@ -51,6 +51,64 @@ class GraphBuildSpec extends AnyFunSuite {
     assert(preds == Map("demonstrates" -> 3, "influences" -> 2))
   }
 
+  test("golden: the reference's own test_hypergraph_v2 fixture → exact 28-node/31-edge graph") {
+    // testing/experimental/test_hypergraph_v2.py:22-104 ported verbatim; the
+    // expected sets below were produced by RUNNING the reference's
+    // build_enhanced_hypergraph on this exact fixture (offline fallbacks).
+    val doc = DocAnalysis(
+      url = "high_customers/00_tim_wolff/Berater = Netzwerk, Know-how, Backup.txt",
+      customerId = "00_tim_wolff", customerName = "Tim Wolff",
+      filePath = "high_customers/00_tim_wolff/Berater = Netzwerk, Know-how, Backup.txt",
+      contentType = "financial_advice", language = "german", domain = "financial",
+      routedPath = "financial", complexity = 0.0, wordCount = 0, charCount = 0,
+      text = "Tim Wolff ist ein erfahrener Finanzberater.",
+      entities = Seq(
+        RawEntity("Tim Wolff", "PERSON", 0.95, "Primary financial advisor"),
+        RawEntity("Financial Planning", "BUSINESS_CONCEPT", 0.9, "Core service offering")),
+      speakers = Nil, segments = Nil,
+      insights = KeyInsights(
+        skills = Seq("Financial advisory expertise", "Insurance specialization",
+          "Investment planning", "Risk management", "Strategic planning"),
+        achievements = Nil,
+        goals = Seq("Long-term client relationships", "Comprehensive financial planning",
+          "Risk mitigation strategies"),
+        challenges = Nil,
+        themes = Seq("Financial advisory", "Insurance consulting", "Investment strategies")),
+      speakingDistribution = Map.empty, durationEstimateMin = 0.0)
+    val needs = NeedsProfile(
+      url = doc.url,
+      scores = Map("certainty" -> 0.8, "growth" -> 0.6, "significance" -> 0.5,
+        "connection" -> 0.4, "variety" -> 0.3, "contribution" -> 0.7),
+      dominant = Seq(NeedScore("certainty", 0.8), NeedScore("contribution", 0.7),
+        NeedScore("growth", 0.6)),
+      patterns = Seq("Strategic planner", "Risk-averse advisor",
+        "Client-focused consultant", "Analytical decision maker"),
+      traits = Seq("Analytical", "Cautious", "Trustworthy", "Detail-oriented", "Client-focused"),
+      lifeThemes = Seq("Professional expertise development", "Client relationship building",
+        "Financial security focus"),
+      confidence = 0.3)
+    val g = GraphBuild.build(doc, needs)
+    assert(g.nodes.size == 28 && g.edges.size == 31)
+    val gotNodes = g.nodes.map(n => (n.content, n.nodeType, n.confidence)).toSet
+    assert(gotNodes.count(_._2 == "skill") == 5)
+    assert(gotNodes(("Tim Wolff", "person", 0.95)))
+    assert(gotNodes(("Certainty", "need", 0.8)) && gotNodes(("Significance", "need", 0.5)))
+    val trips = GraphBuild.triples(g).map(t => (t.subj, t.pred, t.obj, t.confidence)).toSet
+    val byPred = trips.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byPred == Map("specializes_in" -> 5, "demonstrates" -> 3,
+      "influences" -> 3, "relates_to" -> 20), s"got $byPred")
+    assert(trips(("Tim Wolff", "demonstrates", "Contribution", 0.7)))
+    assert(trips(("Certainty", "influences", "Risk-averse advisor", 0.8)))
+    assert(trips(("Strategic planning", "relates_to", "Financial security focus", 0.7)))
+    // Risk management has no financial-domain keyword → NO relates_to edges
+    assert(!trips.exists(t => t._1 == "Risk management" && t._2 == "relates_to"))
+    // reference quality thresholds (test_hypergraph_v2.py:192-232)
+    assert(g.nodes.filter(_.nodeType == "person").forall(_.confidence > 0.8))
+    assert(g.edges.count(_.confidence > 0.6).toDouble / g.edges.size >= 0.5)
+    assert(g.nodes.map(_.nodeType).distinct.size >= 4)
+    assert(g.edges.map(_.edgeType).distinct.size >= 2)
+  }
+
   test("interview detection asymmetry (F14): dialog text triggers entity side only") {
     val doc = minimalDoc("Jon Fortt", "s3-key.txt", "interview")
       .copy(text = "Host: hello\nGuest: hi", insights = KeyInsights(Nil, Nil, Nil, Nil, Seq("professional_experience")))
