@@ -58,12 +58,18 @@ object NearDup {
     * the generate, and the narrow md5 stage is pure codegen.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 8,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    shingleRows(docs, idCol, textCol, distinctRows = false)
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    minhashFromShingleRows(shingleRows(docs, idCol, textCol, distinctRows = false), k)
+
+  /** Same, from precomputed (doc_id, shingle) rows — lets lshVerifiedPairs
+    * share ONE corpus tokenize/shingle scan between signature generation and
+    * exact verification.
+    */
+  private def minhashFromShingleRows(rows: DataFrame, k: Int): DataFrame =
+    rows
       .select(col("doc_id"), col("shingle"), explode(sequence(lit(0L), lit(k - 1L))).as("seed"))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(md5(concat(col("shingle"), lit(":"), col("seed").cast("string")))).as("minhash"))
-  }
 
   /** LSH bands: group `rowsPerBand` consecutive seeds into one band signature
     * = md5 of the comma-joined minhashes in seed order.
@@ -133,12 +139,13 @@ object NearDup {
     */
   def lshVerifiedPairs(docs: DataFrame, threshold: Double, k: Int = 8, rowsPerBand: Int = 4,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cands = lshCandidates(lshBands(minhashSignatures(docs, k, idCol, textCol), rowsPerBand))
-    // the exact shingle set feeds BOTH verification joins and the size agg —
-    // materialize it once (eager local checkpoint) instead of re-tokenizing
-    // the corpus three times
+    // ONE tokenize/shingle scan over the corpus, materialized once: the
+    // deduped set feeds the minhash signatures (min is duplicate-insensitive
+    // so the distinct set is equivalent), both verification joins, and the
+    // size aggregation
     val ds = shingleRows(docs, idCol, textCol, distinctRows = true)
       .localCheckpoint()
+    val cands = lshCandidates(lshBands(minhashFromShingleRows(ds, k), rowsPerBand))
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // equi-join keys (d1) then (d2, shingle): hash joins, no per-pair cross
     val inter = cands
