@@ -269,7 +269,9 @@ object SparkEntry {
     // ---------------- approximate / engine-native ops (oracled via portable
     // SQL reconstructions — see oracleSql)
     "q24_ann_lsh_topk" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), queryIds = 0L until 8L, k = 5)
+      // dim passed explicitly (testdata embeddings are 64-dim) so operator
+      // construction launches no job
+      Similarity.lshTopK(t(s, dir, "embeddings"), queryIds = 0L until 8L, k = 5, dim = 64)
         .withColumn("rnk", col("rank").cast("long")).drop("rank")),
 
     "q35_ann_ivf_topk" -> ((s, dir) =>
@@ -280,6 +282,9 @@ object SparkEntry {
 
     "q34_neardup_lsh_verified" -> ((s, dir) =>
       NearDup.lshVerifiedPairs(t(s, dir, "documents"), 0.8)),
+
+    "q36_simhash_neardup" -> ((s, dir) =>
+      NearDup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 4)),
 
     "q27_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -294,6 +299,28 @@ object SparkEntry {
         .select(col("id").cast("long").as("doc_id"), col("component").cast("long").as("component"))
     })
   )
+
+  /** Shared SimHash CTE chain for the q26/q36 oracles: per-token md5 votes →
+    * 16-char hex reassembly, ending in `sh(doc_id, simhash)`.
+    */
+  private def simhashOracleCtes: String = {
+    val split = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
+    def bit(j: Int) =
+      s"(((strpos('0123456789abcdef', substr(m, ${16 - j / 4}, 1)) - 1) >> ${j % 4}) & 1)"
+    val votes = (0 until 64)
+      .map(j => s"sum(CASE WHEN ${bit(j)} = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    def nib(n: Int) = {
+      val v = (3 to 0 by -1)
+        .map(k => s"(CASE WHEN coalesce(v.b${4 * n + k}, 0) > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($v) + 1, 1)"
+    }
+    val hexExpr = (15 to 0 by -1).map(nib).mkString(" || ")
+    s"toks AS (SELECT doc_id, unnest($split) AS tok FROM documents), " +
+      s"h AS (SELECT doc_id, md5(tok) AS m FROM toks), " +
+      s"v AS (SELECT doc_id, $votes FROM h GROUP BY 1), " +
+      s"sh AS (SELECT d.doc_id, $hexExpr AS simhash FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id)"
+  }
 
   /** DuckDB-runnable oracle SQL per query (same parquet tables). */
   def oracleSql: Map[String, String] = Map(
@@ -377,18 +404,27 @@ object SparkEntry {
     "q13_langid" -> {
       def occ(w: String) =
         s"CAST((length(' '||text||' ') - length(replace(' '||text||' ', ' $w ', ''))) / ${w.length + 2} AS BIGINT)"
-      val votes = TextOps.langStopwords.map { case (l, ws) =>
+      val swVotes = TextOps.langStopwords.map { case (l, ws) =>
         s"(${ws.map(occ).mkString(" + ")}) AS ${l}_votes"
-      }.mkString(", ")
+      }
+      // CJK char-class votes: same \x{....} class literals RE2 accepts
+      val ccVotes = TextOps.langCharClasses.map { case (l, ranges) =>
+        val klass = ranges.map { case (lo, hi) => f"\\x{$lo%04x}-\\x{$hi%04x}" }.mkString("[", "", "]")
+        s"CAST(length(text) - length(regexp_replace(text, '$klass', '', 'g')) AS BIGINT) AS ${l}_votes"
+      }
+      val votes = (swVotes ++ ccVotes).mkString(", ")
       val guess = {
         val vexprs = TextOps.langStopwords.map { case (l, _) => s"${l}_votes" }
         val maxv = s"greatest(${vexprs.mkString(", ")})"
-        val cases = TextOps.langStopwords.map { case (l, _) =>
+        val swCases = TextOps.langStopwords.map { case (l, _) =>
           s"WHEN $maxv > 0 AND ${l}_votes = $maxv THEN '$l'"
         }.mkString(" ")
-        s"CASE $cases ELSE 'und' END AS lang_guess"
+        "CASE WHEN ko_votes > 0 THEN 'ko' WHEN ja_votes > 0 THEN 'ja' WHEN zh_votes > 0 THEN 'zh' " +
+          s"$swCases ELSE 'und' END AS lang_guess"
       }
-      s"SELECT doc_id, ${TextOps.langStopwords.map(_._1).map(l => s"${l}_votes").mkString(", ")}, $guess FROM (SELECT doc_id, $votes FROM documents) v"
+      val voteNames = (TextOps.langStopwords.map(_._1) ++ TextOps.langCharClasses.map(_._1))
+        .map(l => s"${l}_votes").mkString(", ")
+      s"SELECT doc_id, $voteNames, $guess FROM (SELECT doc_id, $votes FROM documents) v"
     },
 
     "q14_quality" ->
@@ -695,23 +731,23 @@ object SparkEntry {
 
     // SimHash reconstructed bit-for-bit: per-token md5, top-64-bit value,
     // majority vote per bit, re-assembled into the same 16-char hex string.
-    "q26_simhash" -> {
-      val split = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
-      def bit(j: Int) =
-        s"(((strpos('0123456789abcdef', substr(m, ${16 - j / 4}, 1)) - 1) >> ${j % 4}) & 1)"
-      val votes = (0 until 64)
-        .map(j => s"sum(CASE WHEN ${bit(j)} = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
-      def nib(n: Int) = {
-        val v = (3 to 0 by -1)
-          .map(k => s"(CASE WHEN coalesce(v.b${4 * n + k}, 0) > 0 THEN ${1 << k} ELSE 0 END)")
-          .mkString(" + ")
-        s"substr('0123456789abcdef', ($v) + 1, 1)"
-      }
-      val hexExpr = (15 to 0 by -1).map(nib).mkString(" || ")
-      s"WITH toks AS (SELECT doc_id, unnest($split) AS tok FROM documents), " +
-        s"h AS (SELECT doc_id, md5(tok) AS m FROM toks), " +
-        s"v AS (SELECT doc_id, $votes FROM h GROUP BY 1) " +
-        s"SELECT d.doc_id, $hexExpr AS simhash FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id"
+    "q26_simhash" ->
+      s"WITH $simhashOracleCtes SELECT doc_id, simhash FROM sh",
+
+    // SimHash-banded near-dup: candidates share one of the 4×16-bit bands
+    // (= 4 hex chars of the q26 value), verified by nibble-wise popcount
+    // hamming <= 4 — the whole third dedup family is SQL-reconstructed.
+    "q36_simhash_neardup" -> {
+      val hamming = (1 to 16).map(p =>
+        s"bit_count(xor(strpos('0123456789abcdef', substr(h1, $p, 1)) - 1, " +
+          s"strpos('0123456789abcdef', substr(h2, $p, 1)) - 1))").mkString(" + ")
+      s"""WITH $simhashOracleCtes,
+         bands AS (SELECT doc_id, simhash, b.band, substr(simhash, 13 - 4 * b.band, 4) AS bv
+                   FROM sh CROSS JOIN (SELECT unnest([0,1,2,3]) AS band) b),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, c.doc_id AS d2, a.simhash AS h1, c.simhash AS h2
+                  FROM bands a JOIN bands c ON a.band = c.band AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         SELECT d1, d2, CAST($hamming AS BIGINT) AS hamming FROM cand
+         WHERE ($hamming) <= 4"""
     },
 
     // The oracle knows only the GENERATION parameters (id → kind/dims/rate

@@ -45,7 +45,21 @@ object Canonicalize {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val vertices = sym.select($"a".as("id")).distinct()
-    var labels = vertices.withColumn("comp", $"id").localCheckpoint()
+
+    // localCheckpoint persists its RDD in the block manager and Dataset has
+    // no handle to unpersist it; track the ids each checkpoint adds so the
+    // superseded snapshot can be freed — otherwise the loop retains
+    // O(iterations) cached label tables (real memory at 10⁹ entities).
+    val sc = spark.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet.toSet
+      val out = df.localCheckpoint()
+      (out, sc.getPersistentRDDs.keySet.toSet -- before)
+    }
+    def free(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+
+    var (labels, labelRddIds) = checkpointTracked(vertices.withColumn("comp", $"id"))
 
     var iter = 0
     var converged = false
@@ -60,14 +74,18 @@ object Canonicalize {
       val partial = candidates
         .withColumn("s", pmod(xxhash64($"comp"), lit(salt)))
         .groupBy($"id", $"s").agg(min($"comp").as("comp"))
-      val newLabels = partial.groupBy($"id").agg(min($"comp").as("comp")).localCheckpoint()
+      val (newLabels, newIds) = checkpointTracked(partial.groupBy($"id").agg(min($"comp").as("comp")))
 
       val changed = newLabels.alias("n")
         .join(labels.alias("o"), col("n.id") === col("o.id"))
         .where(col("n.comp") =!= col("o.comp"))
         .limit(1).count()
       converged = changed == 0
+      // the convergence check above was the last reader of the previous
+      // snapshot — free it; at most 2 label snapshots are ever live
+      free(labelRddIds)
       labels = newLabels
+      labelRddIds = newIds
       iter += 1
     }
     sym.unpersist()

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
 
 /** F12 sensitive-data redaction + F13 key sanitization
   * (graph_extraction_agent.py:245-285, 705-712). The reference sanitizes at
@@ -35,15 +35,35 @@ object Redact {
       java.util.regex.Pattern.compile(p, java.util.regex.Pattern.CASE_INSENSITIVE)
         .matcher(acc).replaceAll("[REDACTED]"))
 
-  /** F12 over a frame: string columns redacted; columns whose NAME contains
-    * a sensitive key fully masked (the reference's sanitize_dict semantics).
+  /** Redact string content anywhere inside a column's type: plain strings,
+    * array<string> elements (e.g. edges.evidence sentences), and struct
+    * fields, recursively. Fields whose NAME contains a sensitive key are
+    * fully masked at any depth. Non-string leaves pass through.
+    */
+  def redactColumn(c: Column, dt: DataType, name: String = ""): Column = {
+    val lower = name.toLowerCase
+    if (sensitiveKeys.exists(lower.contains)) dt match {
+      case StringType => lit("[REDACTED]")
+      case _ => lit(null).cast(dt) // non-string sensitive field: drop value
+    } else dt match {
+      case StringType => redact(c)
+      case ArrayType(et, _) => transform(c, x => redactColumn(x, et))
+      case st: StructType =>
+        // rebuild field-wise; guard null structs (struct() of nulls != null)
+        val rebuilt = struct(st.fields.toSeq.map(f =>
+          redactColumn(c.getField(f.name), f.dataType, f.name).as(f.name)): _*)
+        when(c.isNull, lit(null).cast(st)).otherwise(rebuilt)
+      case _ => c
+    }
+  }
+
+  /** F12 over a frame: string content redacted recursively (strings,
+    * array<string>, struct fields); columns whose NAME contains a sensitive
+    * key fully masked (the reference's sanitize_dict semantics).
     */
   def redactFrame(df: DataFrame): DataFrame =
     df.select(df.schema.fields.map { f =>
-      val lower = f.name.toLowerCase
-      if (sensitiveKeys.exists(lower.contains)) lit("[REDACTED]").as(f.name)
-      else if (f.dataType == StringType) redact(col(f.name)).as(f.name)
-      else col(f.name)
+      redactColumn(col(f.name), f.dataType, f.name).as(f.name)
     }.toSeq: _*)
 
   /** F13 — sanitize a path/key component exactly like the reference:

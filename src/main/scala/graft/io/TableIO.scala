@@ -49,10 +49,19 @@ final class ParquetTableIO(warehouse: String) extends TableIO {
     new java.io.File(path(table)).exists()
 
   override def commit(runId: String): Unit = {
+    // the marker NAME is the run_id readers filter on, so it must be a safe
+    // path component as-is (silently sanitizing would break the marker ↔
+    // run_id correspondence) — reject escaping ids instead
+    require(runId == Redact.sanitizeKeyComponent(runId),
+      s"runId '$runId' is not a safe path component — use [a-zA-Z0-9-_.], <=50 chars")
     val dir = java.nio.file.Paths.get(warehouse, "_commits")
     java.nio.file.Files.createDirectories(dir)
+    // CREATE_NEW: committing the same runId twice would retroactively expose
+    // a crashed attempt's orphan rows next to the retry's rows (duplicates);
+    // each attempt must commit exactly once under a fresh id
     java.nio.file.Files.write(dir.resolve(runId),
-      java.lang.Long.toString(System.currentTimeMillis()).getBytes("UTF-8"))
+      java.lang.Long.toString(System.currentTimeMillis()).getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
   }
 
   override def committedRuns(): Set[String] = {

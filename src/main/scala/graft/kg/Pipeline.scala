@@ -114,6 +114,20 @@ object Pipeline {
     import spark.implicits._
 
     val tio: graft.io.TableIO = new graft.io.ParquetTableIO(outDir)
+    // Fresh-runId-per-attempt guard: committing a reused runId would make a
+    // crashed attempt's orphan rows visible alongside this attempt's rows
+    // (both share run_id) — silently breaking the no-duplication guarantee.
+    // Resume safety comes from the lineage anti-join below, NOT from reusing
+    // the id, so reuse is always a caller bug; fail fast with the reason.
+    if (outDir.nonEmpty) {
+      require(!tio.committedRuns().contains(runId),
+        s"runId '$runId' is already committed — use a fresh runId per attempt (resume=true dedups)")
+      if (tio.exists("lineage") &&
+          !tio.read(spark, "lineage").where($"run_id" === runId).isEmpty)
+        throw new IllegalStateException(
+          s"runId '$runId' has uncommitted rows from a crashed attempt — use a fresh runId; " +
+            "resume=true reprocesses those pages and readers keep filtering the orphans out")
+    }
     val todo: Dataset[Page] =
       if (resume && outDir.nonEmpty && tio.exists("lineage")) {
         // only COMMITTED runs count as done — a run that crashed between its

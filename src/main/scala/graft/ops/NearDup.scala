@@ -37,29 +37,31 @@ object NearDup {
   def shingles(text: Column, n: Int = 3): Column =
     array_distinct(shingleArr(TextOps.tokens(text), n))
 
-  /** (doc_id, shingle) rows, tokens materialized before shingling; set to
-    * duplicates-kept for min-style consumers or distinct for set semantics.
+  /** Distinct (doc_id, shingle) rows, tokens materialized before shingling —
+    * set semantics: every consumer (minhash, Jaccard sizes/intersections) is
+    * duplicate-insensitive, so the single distinct pass up front shrinks all
+    * downstream explodes/joins.
     */
-  private def shingleRows(docs: DataFrame, idCol: String, textCol: String,
-                          distinctRows: Boolean): DataFrame = {
-    val rows = docs
+  private def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(shingleArr(col("toks"))).as("shingle"))
-    if (distinctRows) rows.distinct() else rows
-  }
+      .distinct()
 
   /** (doc_id, seed, minhash) rows for k seeds; docs w/o shingles omitted.
     *
-    * Plan shape: explode shingles (duplicates included — min is
-    * duplicate-insensitive, so the distinct pass is skipped) × k seeds, one
-    * md5 per (shingle, seed), then a hash aggregate with map-side partial
-    * min — the shuffle carries only docs×k rows of 32-char strings. This
-    * beats per-row array transforms: no doc-sized arrays are copied through
-    * the generate, and the narrow md5 stage is pure codegen.
+    * Plan shape: explode shingles, DISTINCT-first (min is
+    * duplicate-insensitive so the deduped set gives identical signatures,
+    * and the distinct pass pays for itself: it shrinks the ×k-seed explode
+    * and the md5 count by the duplication factor — measured faster on every
+    * corpus tried, and it is the same discipline `lshVerifiedPairs` uses so
+    * the two paths share one shape), × k seeds, one md5 per (shingle, seed),
+    * then a hash aggregate with map-side partial min — the shuffle carries
+    * only docs×k rows of 32-char strings.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 8,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    minhashFromShingleRows(shingleRows(docs, idCol, textCol, distinctRows = false), k)
+    minhashFromShingleRows(shingleRows(docs, idCol, textCol), k)
 
   /** Same, from precomputed (doc_id, shingle) rows — lets lshVerifiedPairs
     * share ONE corpus tokenize/shingle scan between signature generation and
@@ -117,7 +119,7 @@ object NearDup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ds = shingleRows(docs, idCol, textCol, distinctRows = true)
+    val ds = shingleRows(docs, idCol, textCol)
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = ds.as("x").join(ds.as("y"),
         col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
@@ -143,7 +145,7 @@ object NearDup {
     // deduped set feeds the minhash signatures (min is duplicate-insensitive
     // so the distinct set is equivalent), both verification joins, and the
     // size aggregation
-    val ds = shingleRows(docs, idCol, textCol, distinctRows = true)
+    val ds = shingleRows(docs, idCol, textCol)
       .localCheckpoint()
     val cands = lshCandidates(lshBands(minhashFromShingleRows(ds, k), rowsPerBand))
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -189,12 +191,12 @@ object NearDup {
   }
 
   /** Portable 64-bit SimHash: per-token md5, top 64 bits, majority vote per
-    * bit; emitted as 16-char lowercase hex so the value is reconstructable
-    * bit-for-bit by any engine with md5 (the DuckDB oracle recomputes it in
-    * SQL). `simhash64` (FNV basis) stays as the allocation-free scale
-    * variant — same algorithm, cheaper hash.
+    * bit — bit b of the result is set iff votes(b) > 0, so the value is
+    * reconstructable bit-for-bit by any engine with md5 (the DuckDB oracle
+    * recomputes it in SQL). `simhash64` (FNV basis) stays as the
+    * allocation-free scale variant — same algorithm, cheaper hash.
     */
-  def simhashMd5Hex(text: String): String = {
+  def simhashMd5Long(text: String): Long = {
     val votes = new Array[Int](64)
     if (text != null) {
       for (tok <- text.split("\\s+") if tok.nonEmpty) {
@@ -204,16 +206,14 @@ object NearDup {
         while (b < 64) { if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
       }
     }
-    val hex = "0123456789abcdef"
-    val sb = new java.lang.StringBuilder(16)
-    var n = 15
-    while (n >= 0) {
-      var nib = 0; var k = 3
-      while (k >= 0) { nib = (nib << 1) | (if (votes(4 * n + k) > 0) 1 else 0); k -= 1 }
-      sb.append(hex.charAt(nib)); n -= 1
-    }
-    sb.toString
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
   }
+
+  /** Same value as 16-char lowercase hex (the q26 surface form). */
+  def simhashMd5Hex(text: String): String = f"${simhashMd5Long(text)}%016x"
 
   /** DataFrame helper: (idCol, simhash hex) via typed map. */
   def simhashDF(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -227,4 +227,49 @@ object NearDup {
 
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash-banded near-dup (the third dedup family, complementing exact
+    * dedup and MinHash LSH): 4×16-bit bands of the md5 simhash → candidate
+    * pairs sharing a band (the same single-bucket-aggregation shape as
+    * `lshCandidates`, no self-join) → `hamming(simhash) <= maxHamming`
+    * verification. By pigeonhole every pair at distance <= 3 shares one of
+    * the 4 bands, so recall is exact below 4 and decays above; pairs at
+    * larger distance survive only when their differing bits cluster.
+    * Scale shape: ONE narrow simhash pass (one md5 per token, no shingle
+    * explode), one shuffle on (band, 16-bit value), tiny verified pair set —
+    * cheaper than MinHash when token-level (not phrase-level) similarity is
+    * the target. Output: (d1, d2, hamming), d1 < d2.
+    */
+  def simhashNearDupPairs(docs: DataFrame, maxHamming: Int = 4,
+                          maxBucket: Int = Int.MaxValue,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sims = docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, simhashMd5Long(text)) }
+      .toDF("doc_id", "sim")
+    // static per-band shifts (codegen'd), carried with the signature so the
+    // verification needs no join back
+    val bandCols = (0 until 4).map(b => struct(lit(b).as("band"),
+      shiftrightunsigned(col("sim"), 16 * b).bitwiseAND(lit(0xffffL)).as("band_val")))
+    val bands = sims.select(col("doc_id"), col("sim"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sim"), col("bk.band").as("band"), col("bk.band_val").as("band_val"))
+    val buckets = bands
+      .groupBy(col("band"), col("band_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sim")))).as("ms"))
+      // same quadratic-bucket guardrail as lshCandidates: exact-dedup first
+      // at scale; identical texts share all 4 bands
+      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+    buckets
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("doc_id").as("d1"), y.getField("doc_id").as("d2"),
+            x.getField("sim").as("s1"), y.getField("sim").as("s2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        hamming(col("p.s1"), col("p.s2")).cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -105,7 +105,10 @@ object Similarity {
     val mat = embeddings
       .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
       .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
-    val cents = mat.where(col("nid") < centroids)
+    // coarse quantizer seed set: the `centroids` SMALLEST ids (rank-based, so
+    // sparse or offset id spaces work — not `id < centroids`); orderBy+limit
+    // plans as TakeOrderedAndProject (per-partition top-N, no full sort)
+    val cents = mat.orderBy(col("nid").asc).limit(centroids)
       .select(col("nid").as("cid"), col("nemb").as("cemb"), col("nnorm").as("cnorm"))
     // inverted lists: every vector → its nearest centroid (broadcast join)
     val wAssign = org.apache.spark.sql.expressions.Window
@@ -135,19 +138,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** @param dim embedding dimensionality (hyperplanes are literal arrays of
+    *   this length). Pass it explicitly to keep plan construction lazy; the
+    *   default (-1) peeks one row — and returns an empty result frame when
+    *   the input has no rows at all.
+    */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
               planes: Int = 6, tables: Int = 4,
-              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", embCol: String = "embedding",
+              dim: Int = -1): DataFrame = {
     // materialize the double-cast embedding + norm once per vector; all
     // tables×planes bucket folds then read the bound array instead of
     // re-running the cast transform per plane (no CSE inside array lambdas)
     val mat = embeddings
       .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
       .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
-    // fixed embedding dimension, peeked once (hyperplanes are literal arrays)
-    val dim = embeddings.select(size(col(embCol))).first().getInt(0)
+    val dimension =
+      if (dim > 0) dim
+      else embeddings.select(size(col(embCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (dimension <= 0)
+      return mat.limit(0).select(col("nid").as("qid"), col("nid"),
+        lit(0.0).as("cos_sim"), lit(1).as("rank"))
     val bucketCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col("nemb"), dim, planes, t).as("b")).as(s"bk$t"))
+      struct(lit(t).as("t"), lshBucket(col("nemb"), dimension, planes, t).as("b")).as(s"bk$t"))
     val withBuckets = mat.select(
       (Seq(col("nid"), col("nemb"), col("nnorm")) :+
         explode(array(bucketCols: _*)).as("bucket")): _*)

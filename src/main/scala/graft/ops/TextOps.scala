@@ -49,20 +49,49 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "es" -> Seq("el", "los", "que", "y", "en"))
 
+  /** CJK character-class vote ranges (BMP, so `length` = codepoints in both
+    * Spark and DuckDB): stopword lists can't separate space-free scripts, so
+    * these languages vote per CHARACTER. Ranges as (lo, hi) codepoints; ja
+    * votes on kana only (Han alone → zh; Han + kana → ja — the standard
+    * script-mix heuristic).
+    */
+  val langCharClasses: Seq[(String, Seq[(Int, Int)])] = Seq(
+    "zh" -> Seq(0x4e00 -> 0x9fff),                     // CJK Unified Ideographs
+    "ja" -> Seq(0x3040 -> 0x309f, 0x30a0 -> 0x30ff),   // Hiragana + Katakana
+    "ko" -> Seq(0xac00 -> 0xd7af))                     // Hangul syllables
+
+  private def charClassRegex(ranges: Seq[(Int, Int)]): String =
+    ranges.map { case (lo, hi) => f"\\x{$lo%04x}-\\x{$hi%04x}" }.mkString("[", "", "]")
+
+  /** Per-language char-class votes = count of characters in the ranges. */
+  def charClassVotes(text: Column): Seq[(String, Column)] =
+    langCharClasses.map { case (lang, ranges) =>
+      lang -> (length(text) - length(regexp_replace(text, charClassRegex(ranges), ""))).cast("long")
+    }
+
   def langVotes(text: Column): Seq[(String, Column)] =
     langStopwords.map { case (lang, words) =>
       lang -> words.map(w => tokenOccurrences(text, w)).reduce(_ + _)
-    }
+    } ++ charClassVotes(text)
 
-  /** Guessed language: argmax of votes with fixed precedence order
+  /** Guessed language: CJK script detection first (ko → ja → zh precedence:
+    * Hangul is unambiguous, kana implies Japanese even with Han present, Han
+    * alone is Chinese), then argmax of stopword votes with fixed precedence
     * (en > de > fr > es), "und" (undetermined) when all zero.
     */
   def langGuess(text: Column): Column = {
-    val votes = langVotes(text)
+    val cc = charClassVotes(text).toMap
+    val votes = langStopwords.map { case (lang, words) =>
+      lang -> words.map(w => tokenOccurrences(text, w)).reduce(_ + _)
+    }
     val maxVote = greatest(votes.map(_._2): _*)
-    votes.foldRight(lit("und"): Column) { case ((lang, v), acc) =>
+    val stopwordGuess = votes.foldRight(lit("und"): Column) { case ((lang, v), acc) =>
       when(maxVote > 0 && v === maxVote, lit(lang)).otherwise(acc)
     }
+    when(cc("ko") > 0, lit("ko"))
+      .when(cc("ja") > 0, lit("ja"))
+      .when(cc("zh") > 0, lit("zh"))
+      .otherwise(stopwordGuess)
   }
 
   /** Quality score ∈ [0,1]: 0.4·coverage(tokens/100) + 0.3·lexical diversity

@@ -69,6 +69,20 @@ class CanonicalizeSpec extends SparkSpec {
     }
   }
 
+  test("CC loop frees superseded label checkpoints (<=2 live snapshots)") {
+    import spark.implicits._
+    // a 30-node chain forces ~30 hash-min iterations (min propagates one hop
+    // per round) — before the fix this left ~30 cached label RDDs behind
+    val chain = (0 until 30).map(i => (f"c$i%02d", f"c${i + 1}%02d"))
+    val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    val out = Canonicalize.connectedComponents(spark, chain.toDF("src", "dst"))
+    assert(out.collect().map(_.getString(1)).toSet == Set("c00"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
+    // only the FINAL label snapshot may stay cached (plus nothing else: the
+    // symmetrized edge set is explicitly unpersisted)
+    assert(leaked.size <= 2, s"leaked ${leaked.size} cached RDDs: $leaked")
+  }
+
   test("canonicalization is idempotent: canon(canon(x)) == canon(x)") {
     import spark.implicits._
     val aliases = Seq(

@@ -60,4 +60,48 @@ class TableIOSpec extends SparkSpec {
     assert(Redact.sanitizeKeyComponent("///") == "unknown")
     assert(Redact.sanitizeKeyComponent("a" * 80) == "a" * 50)
   }
+
+  test("redaction recurses into array<string> elements and struct fields") {
+    import spark.implicits._
+    val f = Seq((
+      Seq("evidence with a@b.com inside", "clean"),
+      ("note 123-45-6789", "tok-abc", 7)))
+      .toDF("evidence", "meta")
+      .select($"evidence", $"meta".cast("struct<note:string,token:string,n:int>"))
+    val r = Redact.redactFrame(f).collect()(0)
+    assert(r.getSeq[String](0) == Seq("evidence with [REDACTED] inside", "clean"))
+    val m = r.getStruct(1)
+    assert(m.getString(0) == "note [REDACTED]")   // pattern-redacted
+    assert(m.getString(1) == "[REDACTED]")        // sensitive field NAME (token)
+    assert(m.getInt(2) == 7)
+    // null struct stays null (rebuild guard)
+    val g = Seq((1, null: String)).toDF("id", "s")
+      .selectExpr("id", "CAST(NULL AS struct<note:string>) AS meta")
+    assert(Redact.redactFrame(g).collect()(0).isNullAt(1))
+  }
+
+  test("run-commit protocol: unsafe runId rejected, double commit refused, reuse guarded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-commit").toString
+    val tio = new ParquetTableIO(dir)
+    intercept[IllegalArgumentException](tio.commit("../escape"))
+    intercept[IllegalArgumentException](tio.commit("a/b"))
+    tio.commit("run1")
+    assert(tio.committedRuns() == Set("run1"))
+    // committing the same runId twice would expose a crashed attempt's
+    // orphan rows next to the retry's rows — must fail
+    intercept[java.nio.file.FileAlreadyExistsException](tio.commit("run1"))
+    // Pipeline-level: a committed runId cannot be reused for a new attempt
+    intercept[IllegalArgumentException] {
+      Pipeline.run(spark, Corpus.pages(spark, 5, partitions = 1), "run1", dir)
+    }
+    // ... and a runId with orphan (uncommitted) lineage rows is refused too
+    import spark.implicits._
+    tio.append(Seq(("run2", 0, "u", "done")).toDF("run_id", "partition_id", "url", "status"), "lineage")
+    intercept[IllegalStateException] {
+      Pipeline.run(spark, Corpus.pages(spark, 5, partitions = 1), "run2", dir)
+    }
+    // a fresh id still goes through
+    Pipeline.run(spark, Corpus.pages(spark, 5, partitions = 1), "run3", dir)
+    assert(tio.committedRuns().contains("run3"))
+  }
 }

@@ -68,6 +68,36 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall: missed ${exact -- viaLsh}")
   }
 
+  test("simhash-banded near-dup: pigeonhole recall <=3, exact hamming, no false positives") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappz"), // 1 token off
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // identical to 0
+      (3L, "completely different content about spark engines and rows"),
+      (4L, "one more unrelated document mentioning tables and columns"))
+      .toDF("doc_id", "text")
+    val got = NearDup.simhashNearDupPairs(docs, maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // identical docs: hamming 0, guaranteed candidate (all 4 bands equal)
+    assert(got((0L, 2L)) == 0L)
+    // 1-token-off docs: small hamming, found via some shared band; the
+    // reported distance must equal the driver-side popcount exactly
+    def ham(a: String, b: String) =
+      java.lang.Long.bitCount(NearDup.simhashMd5Long(a) ^ NearDup.simhashMd5Long(b))
+    val d01 = ham("alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappz")
+    if (d01 <= 3) assert(got((0L, 1L)) == d01.toLong) // pigeonhole guarantee
+    got.foreach { case (_, h) => assert(h <= 8) }
+    // distant docs: not reported at a tight threshold
+    val tight = NearDup.simhashNearDupPairs(docs, maxHamming = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!tight.contains((3L, 4L)) && !tight.contains((0L, 3L)))
+    // hex/long surfaces agree
+    assert(NearDup.simhashMd5Hex("alpha beta") ==
+      f"${NearDup.simhashMd5Long("alpha beta")}%016x")
+  }
+
   test("simhash: identical texts equal, near texts close, distant texts far") {
     val a = NearDup.simhash64("the quick brown fox jumps over the lazy dog")
     val b = NearDup.simhash64("the quick brown fox jumps over the lazy cat")
@@ -179,5 +209,22 @@ class OpsSpec extends SparkSpec {
     val out = d.select(col("doc_id"), TextOps.langGuess(col("text")).as("g")).collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out(1L) == "en" && out(2L) == "de")
+  }
+
+  test("langid CJK char-class votes: zh/ja/ko fixtures, mixed-script precedence") {
+    val d = docs(
+      1L -> "我们在处理大规模数据", // zh: Han only
+      2L -> "データを処理します",       // ja: kana (+ Han 処理)
+      3L -> "데이터를 처리합니다",      // ko: Hangul
+      4L -> "漢字とかなが混ざる",       // Han + kana → ja
+      5L -> "the plain ascii text")
+    val out = d.select(col("doc_id"), TextOps.langGuess(col("text")).as("g")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "zh" && out(2L) == "ja" && out(3L) == "ko" && out(4L) == "ja" && out(5L) == "en")
+    // votes are per-character counts
+    val votes = d.where(col("doc_id") === 1L)
+      .select(TextOps.charClassVotes(col("text")).map { case (l, c) => c.as(l) }: _*)
+      .collect()(0)
+    assert(votes.getLong(0) == 10L && votes.getLong(1) == 0L && votes.getLong(2) == 0L)
   }
 }
