@@ -704,12 +704,32 @@ object SparkEntry {
          r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk FROM sc)
          SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5""",
 
-    // IVF-Flat ANN: deterministic coarse centroids (first 16 vectors),
-    // nearest-centroid inverted lists, nprobe=4 probe, exact re-rank — every
-    // stage ordered on (rounded cosine, id) so the SQL reconstruction is exact.
-    "q35_ann_ivf_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         c AS (SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16),
+    // IVF-Flat ANN with a k-means-TRAINED coarse quantizer: seeds = 16
+    // smallest ids, 2 deterministic training rounds (assignment by rounded
+    // cosine with ties to smallest cid; centroid update = per-dimension mean
+    // as a sequential fold over values ordered by vector id — the exact
+    // replay of Similarity.trainIvfCentroids), then nearest-centroid
+    // inverted lists, nprobe=4 probe, exact re-rank. Every stage ordered on
+    // (rounded cosine, id) so the SQL reconstruction is exact.
+    "q35_ann_ivf_topk" -> {
+      val iters = 2
+      val train = (1 to iters).map { t =>
+        val prev = s"c${t - 1}"
+        s"""a${t}r AS (SELECT e.vec_id AS nid, c.cid, round(list_cosine_similarity(e.emb, c.cemb), 6) AS ccos
+                  FROM e CROSS JOIN $prev c),
+           as$t AS (SELECT nid, cid FROM (
+                  SELECT *, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS rn
+                  FROM a${t}r) WHERE rn = 1),
+           m$t AS (SELECT a.cid, d.pos, list_reduce(list(d.val ORDER BY a.nid), (x, y) -> x + y) / count(*) AS coord
+                  FROM as$t a JOIN dims d ON d.vec_id = a.nid GROUP BY 1, 2),
+           g$t AS (SELECT cid, list(coord ORDER BY pos) AS cemb FROM m$t GROUP BY 1),
+           c$t AS (SELECT p.cid, coalesce(g.cemb, p.cemb) AS cemb FROM $prev p LEFT JOIN g$t g ON p.cid = g.cid)"""
+      }.mkString(",\n         ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         dims AS (SELECT vec_id, unnest(emb) AS val, generate_subscripts(emb, 1) AS pos FROM e),
+         c0 AS (SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 16),
+         $train,
+         c AS (SELECT cid, cemb FROM c$iters),
          a0 AS (SELECT e.vec_id AS nid, c.cid,
                   round(list_cosine_similarity(e.emb, c.cemb), 6) AS ccos
                 FROM e CROSS JOIN c),
@@ -727,7 +747,8 @@ object SparkEntry {
                 JOIN e eq ON eq.vec_id = p.qid JOIN e en ON en.vec_id = a.nid
                 WHERE a.nid <> p.qid),
          r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk FROM sc)
-         SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5""",
+         SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5"""
+    },
 
     // SimHash reconstructed bit-for-bit: per-token md5, top-64-bit value,
     // majority vote per bit, re-assembled into the same 16-char hex string.
@@ -750,21 +771,35 @@ object SparkEntry {
          WHERE ($hamming) <= 4"""
     },
 
-    // The oracle knows only the GENERATION parameters (id → kind/dims/rate
-    // formulas); the engine side recovers them by parsing the real container
-    // headers — so this checks the byte-level decoders, not a tautology.
+    // The oracle knows only the GENERATION parameters (id → kind/dims/rate/
+    // pixel formulas); the engine side recovers them by parsing the real
+    // container bytes — for PNG all the way through zlib inflate + scanline
+    // unfilter to per-pixel values — so this checks the byte-level decoders,
+    // not a tautology. png bytes: 57 header/chunk overhead + zlib stored
+    // stream (raw + 6 + 5·ceil(raw/65535)), raw = h·(3w+1). pixel_sum:
+    // every channel of (x,y) is (i+x+y)%256; summing over the antidiagonals
+    // s = x+y (trapezoid count least(s, w-1, h-1, w+h-2-s)+1) avoids a w×h
+    // blowup in the oracle.
     "q27_multimodal_features" ->
       """WITH f AS (SELECT i,
            CASE WHEN i%3=0 THEN 'png' WHEN i%3=1 THEN 'jpg' ELSE 'wav' END AS kind,
            (i%17=0) AS corrupt,
            64+(i%512) AS w, 48+(i%256) AS h, 8000+(i%8)*4000 AS sr
-           FROM generate_series(0,999) t(i))
+           FROM generate_series(0,999) t(i)),
+         praw AS (SELECT i, w, h, h*(3*w+1) AS raw FROM f WHERE kind='png' AND NOT corrupt),
+         pbytes AS (SELECT i, 57 + raw + 6 + 5*CAST(ceil(raw/65535.0) AS BIGINT) AS nb FROM praw),
+         psum AS (SELECT p.i,
+                    3*sum((least(s.s, p.w-1, p.h-1, p.w+p.h-2-s.s)+1) * ((p.i + s.s) % 256)) AS px
+                  FROM praw p JOIN generate_series(0, 876) s(s) ON s.s <= p.w+p.h-2
+                  GROUP BY 1)
          SELECT kind, count(*) AS n,
            CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
-           CAST(sum(CASE WHEN corrupt THEN 3 WHEN kind='png' THEN 97 WHEN kind='jpg' THEN 103 ELSE 108 END) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN corrupt THEN 3 WHEN kind='png' THEN pb.nb WHEN kind='jpg' THEN 103 ELSE 108 END) AS BIGINT) AS total_bytes,
            CAST(max(CASE WHEN corrupt THEN 0 WHEN kind IN ('png','jpg') THEN w ELSE 0 END) AS BIGINT) AS max_width,
            CAST(max(CASE WHEN corrupt THEN 0 WHEN kind IN ('png','jpg') THEN h ELSE 0 END) AS BIGINT) AS max_height,
-           CAST(max(CASE WHEN corrupt THEN 0 WHEN kind='wav' THEN sr ELSE 0 END) AS BIGINT) AS max_sample_rate
-         FROM f GROUP BY 1"""
+           CAST(max(CASE WHEN corrupt THEN 0 WHEN kind='wav' THEN sr ELSE 0 END) AS BIGINT) AS max_sample_rate,
+           CAST(sum(CASE WHEN corrupt OR kind <> 'png' THEN 0 ELSE ps.px END) AS BIGINT) AS total_pixel_sum
+         FROM f LEFT JOIN pbytes pb ON f.i = pb.i LEFT JOIN psum ps ON f.i = ps.i
+         GROUP BY 1"""
   )
 }

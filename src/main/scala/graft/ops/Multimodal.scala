@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * state).
   *
   * The decode step is REAL byte parsing (no external libraries needed):
-  * PNG IHDR, JPEG SOF marker scan, and WAV RIFF/fmt headers. The synthetic
-  * generator emits genuine headers for all three container formats, so the
-  * parser is exercised against real byte layouts; corrupt payloads cover the
-  * error path. Full pixel/sample decode (libjpeg/ffmpeg) would slot into the
-  * same per-partition seam.
+  * PNG IHDR + full pixel decode (chunk walk → java.util.zip.Inflater →
+  * scanline unfilter, all 5 spec filter types), JPEG SOF marker scan, and
+  * WAV RIFF/fmt headers. The synthetic generator emits genuine containers
+  * (valid PNGs with real CRCs and zlib IDAT; JFIF/SOF JPEG headers; RIFF
+  * WAVs), so the parsers are exercised against real byte layouts; corrupt
+  * payloads cover the error path. JPEG entropy decode (libjpeg) would slot
+  * into the same per-partition seam — the env ships no codec libs.
   */
 object Multimodal {
 
@@ -22,12 +24,13 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long, kind: String, valid: Boolean,
       width: Int, height: Int, sample_rate: Int, channels: Int,
-      n_bytes: Long, checksum: Long)
+      n_bytes: Long, checksum: Long, pixel_sum: Long)
 
   // ------------------------------------------------------------- encoders
-  // Deterministic synthetic payloads with REAL container headers. Body
-  // lengths are fixed per kind so totals are predictable:
-  //   png 97 bytes, jpeg 103, wav 108 (corrupt rows are 3).
+  // Deterministic synthetic payloads with REAL container layouts. Byte
+  // lengths are closed-form per kind so totals are oracle-predictable:
+  //   png 57 + zlen(w,h) bytes (real zlib IDAT, see pngBytes),
+  //   jpeg 103, wav 108 (corrupt rows are 3).
 
   private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
   private def be32(v: Int): Array[Byte] =
@@ -44,13 +47,83 @@ object Multimodal {
     b
   }
 
-  /** PNG: 8-byte signature + IHDR chunk (len, "IHDR", w BE32, h BE32,
-    * bit-depth 8, color-type 2 truecolor, 3×0, crc placeholder) + body.
+  /** Deterministic truecolor pixel value: every channel of pixel (x, y) of
+    * image `id` is (id + x + y) mod 256 — closed-form enough that the oracle
+    * reconstructs per-image pixel sums without decoding anything.
     */
-  def pngBytes(id: Long, w: Int, h: Int): Array[Byte] =
+  def pixelValue(id: Long, x: Int, y: Int): Int = ((id + x + y) % 256).toInt
+
+  /** zlib stream holding `raw` as STORED (uncompressed) deflate blocks —
+    * hand-rolled so the byte length is closed-form (raw + 6 + 5·nblocks with
+    * 65535-byte blocks), which keeps payload sizes oracle-predictable where
+    * a real compressor's output length would not be. The DECODER side uses
+    * the real java.util.zip.Inflater, which consumes this stream like any
+    * other zlib data.
+    */
+  def zlibStored(raw: Array[Byte]): Array[Byte] = {
+    val nblocks = math.max(1, (raw.length + 65534) / 65535)
+    val out = new Array[Byte](raw.length + 6 + 5 * nblocks)
+    out(0) = 0x78; out(1) = 0x01 // zlib header: deflate, 32k window, no dict
+    var off = 0; var o = 2
+    var b = 0
+    while (b < nblocks) {
+      val len = math.min(65535, raw.length - off)
+      val last = b == nblocks - 1
+      out(o) = if (last) 1 else 0
+      out(o + 1) = (len & 0xff).toByte; out(o + 2) = ((len >> 8) & 0xff).toByte
+      out(o + 3) = (~len & 0xff).toByte; out(o + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(raw, off, out, o + 5, len)
+      off += len; o += 5 + len; b += 1
+    }
+    val ad = new java.util.zip.Adler32
+    ad.update(raw, 0, raw.length)
+    val a = ad.getValue
+    out(o) = (a >>> 24).toByte; out(o + 1) = ((a >> 16) & 0xff).toByte
+    out(o + 2) = ((a >> 8) & 0xff).toByte; out(o + 3) = (a & 0xff).toByte
+    out
+  }
+
+  /** One PNG chunk: length + tag + data + real CRC32 over tag++data. */
+  private def pngChunk(tag: String, data: Array[Byte]): Array[Byte] = {
+    val t = tag.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+  }
+
+  /** A VALID truecolor PNG: signature + IHDR (bit-depth 8, color-type 2) +
+    * one IDAT (zlib over filtered scanlines) + IEND, real CRCs. Scanline
+    * filters rotate None/Sub/Up by row so the decoder's unfilter paths are
+    * exercised by every image. Total bytes = 57 + zlen where
+    * zlen = raw + 6 + 5·ceil(raw/65535), raw = h·(3w+1).
+    */
+  def pngBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride)
+      val filter = y % 3 // 0 None, 1 Sub, 2 Up (y%3==2 implies y>=1, Up defined)
+      raw(rowOff) = filter.toByte
+      var i = 0
+      while (i < stride) {
+        val x = i / 3
+        val v = pixelValue(id, x, y)
+        val stored = filter match {
+          case 0 => v
+          case 1 => v - (if (i >= 3) pixelValue(id, x - 1, y) else 0)
+          case _ => v - pixelValue(id, x, y - 1)
+        }
+        raw(rowOff + 1 + i) = (stored & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
-      be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
-      Array[Byte](8, 2, 0, 0, 0) ++ be32(0) ++ body(id, 64)
+      pngChunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      pngChunk("IDAT", zlibStored(raw)) ++
+      pngChunk("IEND", Array.empty[Byte])
+  }
 
   /** JPEG: SOI + APP0/JFIF segment + SOF0 (baseline) + body. The APP0 before
     * SOF forces the parser to actually walk the segment chain.
@@ -93,6 +166,80 @@ object Multimodal {
     }
   }
 
+  /** Reverse PNG scanline filtering in place-order (types 0 None, 1 Sub,
+    * 2 Up, 3 Average, 4 Paeth — the full spec set) for `bpp` bytes/pixel;
+    * input is h rows of (1 filter byte + stride), output the raw bytes.
+    * Returns None on an unknown filter type.
+    */
+  def unfilterScanlines(data: Array[Byte], w: Int, h: Int, bpp: Int): Option[Array[Byte]] = {
+    val stride = w * bpp
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = data(y * (1 + stride)) & 0xff
+      val in = y * (1 + stride) + 1
+      val o = y * stride
+      var i = 0
+      while (i < stride) {
+        val x = data(in + i) & 0xff
+        val left = if (i >= bpp) out(o + i - bpp) & 0xff else 0
+        val up = if (y > 0) out(o - stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= bpp) out(o - stride + i - bpp) & 0xff else 0
+        val raw = f match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 =>
+            // Paeth predictor
+            val pp = left + up - ul
+            val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - ul)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return None
+        }
+        out(o + i) = (raw & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    Some(out)
+  }
+
+  /** Full PNG pixel decode: walk chunks, concatenate IDAT data, inflate with
+    * the real java.util.zip.Inflater, unfilter, and return the sum of all
+    * channel bytes (the oracle-checkable pixel statistic). Supports the
+    * 8-bit truecolor layout the generator emits; anything malformed → None.
+    */
+  def decodePngPixels(p: Array[Byte]): Option[Long] =
+    decodePng(p).flatMap { case (w, h) =>
+      try {
+        if ((p(24) & 0xff) != 8 || (p(25) & 0xff) != 2) return None // bit depth 8, truecolor
+        val idat = new java.io.ByteArrayOutputStream()
+        var pos = 8
+        var done = false
+        while (!done && pos + 8 <= p.length) {
+          val len = rdBe32(p, pos)
+          if (len < 0 || pos + 12 + len > p.length) return None
+          if (tag(p, pos + 4, "IDAT")) idat.write(p, pos + 8, len)
+          if (tag(p, pos + 4, "IEND")) done = true
+          pos += 12 + len
+        }
+        val stride = 3 * w
+        val raw = new Array[Byte](h * (1 + stride))
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        val n = inf.inflate(raw)
+        val ok = n == raw.length && inf.finished()
+        inf.end()
+        if (!ok) None
+        else unfilterScanlines(raw, w, h, 3).map { px =>
+          var s = 0L; var i = 0
+          while (i < px.length) { s += px(i) & 0xff; i += 1 }
+          s
+        }
+      } catch { case _: Exception => None }
+    }
+
   /** JPEG SOF scan: walk FF-marker segments from SOI until a start-of-frame
     * (0xC0-0xCF excluding C4/C8/CC), then height/width are BE16 in its body.
     */
@@ -122,12 +269,18 @@ object Multimodal {
     }
   }
 
-  /** Container sniffing + parse → (valid, width, height, sample_rate, channels). */
-  def decode(payload: Array[Byte]): (Boolean, Int, Int, Int, Int) = {
-    decodePng(payload).map { case (w, h) => (true, w, h, 0, 0) }
-      .orElse(decodeJpeg(payload).map { case (w, h) => (true, w, h, 0, 0) })
-      .orElse(decodeWav(payload).map { case (sr, ch) => (true, 0, 0, sr, ch) })
-      .getOrElse((false, 0, 0, 0, 0))
+  /** Container sniffing + parse → (valid, width, height, sample_rate,
+    * channels, pixel_sum). pixel_sum is the inflate+unfilter statistic for
+    * PNGs (0 when the pixel stream is absent/corrupt, and for formats whose
+    * entropy-coded payload needs codec libs the environment doesn't ship —
+    * JPEG — documented gap).
+    */
+  def decode(payload: Array[Byte]): (Boolean, Int, Int, Int, Int, Long) = {
+    decodePng(payload).map { case (w, h) =>
+      (true, w, h, 0, 0, decodePngPixels(payload).getOrElse(0L)) }
+      .orElse(decodeJpeg(payload).map { case (w, h) => (true, w, h, 0, 0, 0L) })
+      .orElse(decodeWav(payload).map { case (sr, ch) => (true, 0, 0, sr, ch, 0L) })
+      .getOrElse((false, 0, 0, 0, 0, 0L))
   }
 
   /** Feature extraction over binary payloads — mapPartitions so a full codec
@@ -139,11 +292,11 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition codec init would go here
       it.map { m =>
-        val (valid, w, h, sr, ch) = decode(m.payload)
+        val (valid, w, h, sr, ch, pxSum) = decode(m.payload)
         val checksum = if (m.payload == null) 0L
           else m.payload.foldLeft(1469598103934665603L)((a, b) => (a ^ (b & 0xff)) * 1099511628211L)
         MediaFeatures(m.media_id, m.kind, valid, w, h, sr, ch,
-          if (m.payload == null) 0L else m.payload.length.toLong, checksum)
+          if (m.payload == null) 0L else m.payload.length.toLong, checksum, pxSum)
       }
     }
   }
@@ -179,5 +332,6 @@ object Multimodal {
       sum("n_bytes").as("total_bytes"),
       max("width").cast("long").as("max_width"),
       max("height").cast("long").as("max_height"),
-      max("sample_rate").cast("long").as("max_sample_rate"))
+      max("sample_rate").cast("long").as("max_sample_rate"),
+      sum("pixel_sum").as("total_pixel_sum"))
 }

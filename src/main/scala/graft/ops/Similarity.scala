@@ -85,31 +85,90 @@ object Similarity {
     * higher recall at linear candidate cost; at 10⁹ vectors each table join
     * touches only |bucket| ≈ N/2^planes rows per query.
     */
-  /** IVF-Flat approximate top-k: a coarse quantizer (deterministic centroid
-    * set — the first `centroids` vectors by id; production would train them
-    * offline) partitions vectors into inverted lists by nearest-centroid
-    * assignment; a query probes only its `nprobe` closest centroids' lists
-    * and re-ranks those candidates exactly. At 10⁹ vectors each query
-    * touches ≈ nprobe/centroids of the data, and the assignment pass is one
-    * broadcast join over the corpus (no shuffle of the big side until the
-    * tiny candidate set). Complements lshTopK: IVF gives tunable recall via
-    * nprobe; LSH gives constant-time bucketing.
+  /** Deterministic spherical k-means for the IVF coarse quantizer.
+    *
+    * Every step is engine-portable so the DuckDB oracle replays training
+    * bit-for-bit: seeds = the `centroids` smallest ids; assignment by
+    * ROUNDED (6dp) cosine with ties to the smallest cid; the centroid
+    * update is the per-dimension mean computed as a SEQUENTIAL left fold
+    * over values sorted by vector id (Spark `aggregate` over a sorted
+    * collect_list ≡ DuckDB `list_reduce(list(... ORDER BY id))`) divided
+    * once — floating-point addition isn't associative, so an unordered
+    * SUM() would differ across engines/partitionings; the ordered fold is
+    * deterministic everywhere. Clusters that lose all members keep their
+    * previous centroid. Fixed `iters` rounds (no convergence check — also
+    * for replayability).
+    *
+    * Scale shape: the corpus side is one narrow pass per iteration
+    * (broadcast centroids), the update shuffles only (centroids × dim)
+    * groups; at 10⁹ vectors you'd train on a sample with the same code.
+    */
+  def trainIvfCentroids(embeddings: DataFrame, centroids: Int = 16, iters: Int = 2,
+                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val mat = embeddings
+      .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
+      .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
+      .localCheckpoint() // reused iters+1 times — materialize the cast/norm once
+    val dims = mat.select(col("nid"), posexplode(col("nemb")).as(Seq("pos", "val")))
+    var cents = mat.orderBy(col("nid").asc).limit(centroids)
+      .select(col("nid").as("cid"), col("nemb").as("cemb"))
+    for (_ <- 0 until iters) {
+      val c = cents.select(col("cid"), col("cemb"), norm(col("cemb")).as("cnorm"))
+      val wA = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("nid")).orderBy(col("ccos").desc, col("cid").asc)
+      val assigned = mat.crossJoin(broadcast(c))
+        .select(col("nid"),
+          round(dot(col("nemb"), col("cemb")) / (col("nnorm") * col("cnorm")), 6).as("ccos"),
+          col("cid"))
+        .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
+        .select(col("nid"), col("cid"))
+      val coords = assigned.join(dims, Seq("nid"))
+        .groupBy(col("cid"), col("pos"))
+        .agg((aggregate(array_sort(collect_list(struct(col("nid"), col("val")))),
+          lit(0.0), (acc, x) => acc + x.getField("val")) / count(lit(1))).as("coord"))
+      val updated = coords.groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("coord")))),
+          x => x.getField("coord")).as("cemb"))
+      cents = cents.select(col("cid"), col("cemb").as("prev"))
+        .join(updated, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cemb"), col("prev")).as("cemb"))
+        .localCheckpoint() // truncate the per-iteration plan
+    }
+    cents.select(col("cid"), col("cemb"), norm(col("cemb")).as("cnorm"))
+  }
+
+  /** IVF-Flat approximate top-k: a coarse quantizer partitions vectors into
+    * inverted lists by nearest-centroid assignment; a query probes only its
+    * `nprobe` closest centroids' lists and re-ranks those candidates
+    * exactly. At 10⁹ vectors each query touches ≈ nprobe/centroids of the
+    * data, and the assignment pass is one broadcast join over the corpus
+    * (no shuffle of the big side until the tiny candidate set). Complements
+    * lshTopK: IVF gives tunable recall via nprobe; LSH gives constant-time
+    * bucketing.
+    *
+    * The quantizer is k-means-trained (`trainIters` deterministic rounds,
+    * see trainIvfCentroids) — recall with trained centroids beats the raw
+    * first-N seed set whenever the data is clustered (tested); pass
+    * trainIters = 0 for the untrained seed quantizer.
     *
     * All orderings tie-break on (rounded cosine desc, id asc), so results
     * are deterministic and engine-portable (the DuckDB oracle reconstructs
-    * the same assignment, probe, and re-rank).
+    * training, assignment, probe, and re-rank).
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
-              centroids: Int = 16, nprobe: Int = 4,
+              centroids: Int = 16, nprobe: Int = 4, trainIters: Int = 2,
               idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val mat = embeddings
       .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
       .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
-    // coarse quantizer seed set: the `centroids` SMALLEST ids (rank-based, so
-    // sparse or offset id spaces work — not `id < centroids`); orderBy+limit
+    // coarse quantizer: k-means-trained from the `centroids` SMALLEST ids
+    // (rank-based seeds, so sparse or offset id spaces work); orderBy+limit
     // plans as TakeOrderedAndProject (per-partition top-N, no full sort)
-    val cents = mat.orderBy(col("nid").asc).limit(centroids)
-      .select(col("nid").as("cid"), col("nemb").as("cemb"), col("nnorm").as("cnorm"))
+    val cents =
+      if (trainIters > 0)
+        trainIvfCentroids(embeddings, centroids, trainIters, idCol, embCol)
+      else mat.orderBy(col("nid").asc).limit(centroids)
+        .select(col("nid").as("cid"), col("nemb").as("cemb"), col("nnorm").as("cnorm"))
     // inverted lists: every vector → its nearest centroid (broadcast join)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("nid")).orderBy(col("ccos").desc, col("cid").asc)

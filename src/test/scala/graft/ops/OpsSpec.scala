@@ -156,6 +156,34 @@ class OpsSpec extends SparkSpec {
     assert(full == bf, s"nprobe=centroids must equal brute force: $full vs $bf")
   }
 
+  test("IVF trained quantizer: k-means recall beats the first-N seed set on clustered data") {
+    import spark.implicits._
+    // 8 one-hot clusters in 16d; ids 0-7 (the seed set) are ALL cluster-0
+    // points, so the untrained quantizer is degenerate and scatters the
+    // other clusters across lists; 2 k-means rounds recover the structure
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      val k = if (i < 8) 0 else i % 8
+      val v = (0 until dim).map(j =>
+        (if (j == 2 * k) 1.0f else 0.0f) + (((i * 31 + j * 17) % 7) - 3) * 0.02f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = Seq(30L, 55L, 85L, 110L, 135L, 165L, 190L)
+    val truth = Similarity.bruteForceTopK(vecs, queries, 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    def recall(trainIters: Int): Double = {
+      val got = Similarity
+        .ivfTopK(vecs, queries, 5, centroids = 8, nprobe = 1, trainIters = trainIters)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+      queries.map(q => (got.getOrElse(q, Set.empty[Long]) & truth(q)).size / 5.0).sum / queries.size
+    }
+    val untrained = recall(0)
+    val trained = recall(2)
+    assert(trained > untrained, s"trained $trained vs untrained $untrained")
+    assert(trained >= 0.95, s"trained recall $trained")
+  }
+
   test("multimodal: PNG/JPEG/WAV header decoders recover the encoded values") {
     assert(Multimodal.decodePng(Multimodal.pngBytes(7L, 640, 480)) == Some((640, 480)))
     // JPEG parser must WALK past APP0 to the SOF segment
@@ -165,11 +193,59 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodePng(Multimodal.jpegBytes(1L, 10, 10)).isEmpty)
     assert(Multimodal.decodeJpeg(Multimodal.wavBytes(1L, 8000, 1)).isEmpty)
     assert(Multimodal.decodeWav(Multimodal.pngBytes(1L, 10, 10)).isEmpty)
-    assert(Multimodal.decode(Array[Byte](1, 2, 3)) == ((false, 0, 0, 0, 0)))
-    assert(Multimodal.decode(null) == ((false, 0, 0, 0, 0)))
+    assert(Multimodal.decode(Array[Byte](1, 2, 3)) == ((false, 0, 0, 0, 0, 0L)))
+    assert(Multimodal.decode(null) == ((false, 0, 0, 0, 0, 0L)))
     // truncated structures fail cleanly, not with exceptions
     assert(Multimodal.decodePng(Multimodal.pngBytes(1L, 10, 10).take(20)).isEmpty)
     assert(Multimodal.decodeJpeg(Multimodal.jpegBytes(1L, 10, 10).take(10)).isEmpty)
+  }
+
+  test("multimodal: PNG pixel decode (inflate + unfilter) matches the generation formula") {
+    // decode goes chunk walk → Inflater → unfilter; expected sum from formula
+    for ((id, w, h) <- Seq((7L, 64, 48), (123L, 575, 303), (0L, 1, 1))) {
+      val expect = (for (y <- 0 until h; x <- 0 until w) yield 3L * Multimodal.pixelValue(id, x, y)).sum
+      assert(Multimodal.decodePngPixels(Multimodal.pngBytes(id, w, h)) == Some(expect), s"id=$id")
+    }
+    // multi-block zlib path: raw > 65535 forces >1 stored block (575*303 does)
+    val big = Multimodal.pngBytes(9L, 575, 303)
+    val raw = 303 * (3 * 575 + 1)
+    assert(big.length == 57 + raw + 6 + 5 * ((raw + 65534) / 65535))
+    // truncated IDAT fails cleanly; header dims still parse
+    val cut = big.take(big.length / 2)
+    assert(Multimodal.decodePng(cut) == Some((575, 303)))
+    assert(Multimodal.decodePngPixels(cut).isEmpty)
+    // all 5 spec filters round-trip: forward-filter a known raw image with
+    // each type, then unfilter must reproduce it (generator only emits 0-2)
+    val (w, h, bpp) = (5, 4, 3)
+    val rawImg = Array.tabulate(h * w * bpp)(i => ((i * 37 + 11) % 256).toByte)
+    def px(y: Int, i: Int) = rawImg(y * w * bpp + i) & 0xff
+    for (f <- 0 to 4) {
+      val filtered = new Array[Byte](h * (1 + w * bpp))
+      for (y <- 0 until h) {
+        filtered(y * (1 + w * bpp)) = f.toByte
+        for (i <- 0 until w * bpp) {
+          val left = if (i >= bpp) px(y, i - bpp) else 0
+          val up = if (y > 0) px(y - 1, i) else 0
+          val ul = if (y > 0 && i >= bpp) px(y - 1, i - bpp) else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val pp = left + up - ul
+              val (pa, pb, pc) = (math.abs(pp - left), math.abs(pp - up), math.abs(pp - ul))
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          filtered(y * (1 + w * bpp) + 1 + i) = ((px(y, i) - pred) & 0xff).toByte
+        }
+      }
+      assert(Multimodal.unfilterScanlines(filtered, w, h, bpp).map(_.toSeq) == Some(rawImg.toSeq), s"filter $f")
+    }
+    // unknown filter type rejected
+    val badFilter = Array.fill[Byte](1 + w * bpp)(0)
+    badFilter(0) = 9
+    assert(Multimodal.unfilterScanlines(badFilter, w, 1, bpp).isEmpty)
   }
 
   test("multimodal feature extraction: real header decode + corrupt payload path") {
@@ -184,8 +260,22 @@ class OpsSpec extends SparkSpec {
       f.width == 64 + f.media_id % 512 && f.height == 48 + f.media_id % 256))
     assert(valid.filter(_.kind == "wav").forall(f =>
       f.sample_rate == 8000 + (f.media_id % 8) * 4000 && f.channels == 1 + f.media_id % 2))
-    val bytesByKind = Map("png" -> 97L, "jpg" -> 103L, "wav" -> 108L)
-    assert(valid.forall(f => f.n_bytes == bytesByKind(f.kind)))
+    def pngBytesLen(w: Long, h: Long): Long = {
+      val raw = h * (3 * w + 1)
+      57 + raw + 6 + 5 * ((raw + 65534) / 65535)
+    }
+    assert(valid.forall(f => f.kind match {
+      case "png" => f.n_bytes == pngBytesLen(f.width, f.height)
+      case "jpg" => f.n_bytes == 103L
+      case _ => f.n_bytes == 108L
+    }))
+    // real pixel decode: every valid png's pixel_sum matches the formula
+    assert(valid.filter(_.kind == "png").forall { f =>
+      val expect = (for (y <- 0 until f.height; x <- 0 until f.width)
+        yield 3L * Multimodal.pixelValue(f.media_id, x, y)).sum
+      f.pixel_sum == expect
+    })
+    assert(valid.filter(_.kind != "png").forall(_.pixel_sum == 0L))
     // determinism
     val again = Multimodal.extractFeatures(spark, media).collect()
     assert(again.map(_.checksum).toSeq == feats.map(_.checksum).toSeq)
