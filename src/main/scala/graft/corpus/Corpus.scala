@@ -164,6 +164,34 @@ object Corpus {
     base.map(i => genPage(i, seed))
   }
 
+  private def titleToken(t: String): String =
+    if (t.isEmpty) t else t.head.toUpper + t.tail
+
+  /** Deterministic text→page-body transform for driver documents: title-case
+    * tokens 0, 1 and every 7th (i % 7 == 0). The driver corpus is all
+    * lowercase, which starves the F2 regex NER; this transform makes the
+    * page body carry NER-extractable names that are pure functions of the
+    * document text — so the DuckDB oracle can reconstruct the body
+    * (list_transform) and the extraction (regexp_extract_all) exactly, and
+    * the driver hash covers the extraction machinery itself.
+    */
+  def derivedBody(text: String): String =
+    text.split("\\s+").iterator.filter(_.nonEmpty).zipWithIndex
+      .map { case (t, i) => if (i < 2 || i % 7 == 0) titleToken(t) else t }
+      .mkString(" ")
+
+  /** Text-derived persona: the title-cased first two tokens ("key agg …" →
+    * "Key Agg") — the page's PersonaName, hence the primary `person` entity
+    * and the subject of every person triple, derives from the document TEXT
+    * (reconstructable in SQL); `fallback` covers texts with < 2 tokens.
+    */
+  def derivedPersona(text: String, fallback: String): String = {
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length >= 2) s"${titleToken(toks(0))} ${titleToken(toks(1))}"
+    else if (toks.length == 1) titleToken(toks(0))
+    else fallback
+  }
+
   /** Alternative corpus: wrap the driver-provided documents table
     * (testdata documents.parquet) as pages — used by SparkEntry's
     * flagship so the driver-visible path runs on driver data.
@@ -172,9 +200,14 @@ object Corpus {
     * document's language column (de → financial, en → interview, else
     * generic), so the driver-checked pipeline exercises front-matter strip →
     * parse → routing → per-route needs profiles → threshold rules, not one
-    * constant path; the DuckDB oracle reconstructs the per-route triples
-    * from the same documents columns. PersonaName matches the url-derived
-    * name, keeping the subject a document-table-derived value.
+    * constant path. The body is `derivedBody(text)` and PersonaName is
+    * `derivedPersona(text)`, so the subject of every emitted triple and the
+    * NER-driven theme/topic gating derive from the document TEXT — the
+    * DuckDB oracle reconstructs both from the same columns. English docs
+    * split on doc_id parity between an "interview_"-named file (interview
+    * format detection fires on the path → interview relationship rules) and
+    * a "doc_"-named file (standard rules under interview routing), covering
+    * both F14 branches driver-side.
     */
   def pagesFromDocuments(spark: SparkSession, sfDir: String): Dataset[Page] = {
     import spark.implicits._
@@ -182,16 +215,19 @@ object Corpus {
       .select("doc_id", "text", "lang", "source")
       .as[(Long, String, String, String)]
       .map { case (id, text, lang, source) =>
-        val url = s"https://corpus.local/customers/${source}/doc_$id.html"
+        val fileName =
+          if (lang == "en" && id % 2 == 0) s"interview_$id.html" else s"doc_$id.html"
+        val url = s"https://corpus.local/customers/${source}/$fileName"
         val contentType = lang match {
           case "de" => "financial_advice"
           case "en" => "interview_transcript"
           case _ => "generic_note"
         }
-        val persona = graft.analyze.DocAnalyze.customerNameFromId(source)
-        val raw = frontMatter(persona, contentType, badJson = false) + text
+        val persona =
+          derivedPersona(text, graft.analyze.DocAnalyze.customerNameFromId(source))
+        val raw = frontMatter(persona, contentType, badJson = false) + derivedBody(text)
         Page(url, new java.sql.Timestamp(1726000000000L + id * 1000L),
-          TextExtract.wrapHtml(raw, s"doc_$id"), raw, lang)
+          TextExtract.wrapHtml(raw, fileName.stripSuffix(".html")), raw, lang)
       }
   }
 }
