@@ -37,27 +37,31 @@ object NearDup {
   def shingles(text: Column, n: Int = 3): Column =
     array_distinct(shingleArr(TextOps.tokens(text), n))
 
-  /** Distinct (doc_id, shingle) rows, tokens materialized before shingling —
-    * set semantics: every consumer (minhash, Jaccard sizes/intersections) is
-    * duplicate-insensitive, so the single distinct pass up front shrinks all
-    * downstream explodes/joins.
+  /** Distinct (doc_id, shingle) rows, tokens materialized before shingling.
+    *
+    * Set semantics via `array_distinct` INSIDE the shingle array, not a
+    * row-level `.distinct()`: duplicates only exist within a document, so
+    * the per-doc narrow dedup yields exactly the distinct row set with NO
+    * exchange — measured (MinhashProbe, sf0.1, min of 3): signatures 0.72 s
+    * array_distinct vs 0.96 s duplicates-kept vs 1.57 s row-distinct;
+    * candidate pipeline equal-or-better. Every consumer (minhash min,
+    * Jaccard sizes/intersections, band join) needs set semantics, so this
+    * is the one shared discipline.
     */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(shingleArr(col("toks"))).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(shingleArr(col("toks")))).as("shingle"))
 
   /** (doc_id, seed, minhash) rows for k seeds; docs w/o shingles omitted.
     *
-    * Plan shape: explode shingles, DISTINCT-first (min is
-    * duplicate-insensitive so the deduped set gives identical signatures,
-    * and the distinct pass pays for itself: it shrinks the ×k-seed explode
-    * and the md5 count by the duplication factor — measured faster on every
-    * corpus tried, and it is the same discipline `lshVerifiedPairs` uses so
-    * the two paths share one shape), × k seeds, one md5 per (shingle, seed),
-    * then a hash aggregate with map-side partial min — the shuffle carries
-    * only docs×k rows of 32-char strings.
+    * Plan shape: narrow per-doc-deduped shingle explode (see shingleRows —
+    * min is duplicate-insensitive so the deduped set gives identical
+    * signatures while shrinking the ×k-seed explode and md5 count, with no
+    * exchange; the same discipline `lshVerifiedPairs` uses, so the two
+    * paths share one shape), × k seeds, one md5 per (shingle, seed), then a
+    * hash aggregate with map-side partial min — the only shuffle carries
+    * docs×k rows of 32-char strings.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 8,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
