@@ -310,6 +310,33 @@ object SparkEntry {
           graft.analyze.DocAnalyze.extractEntities(Corpus.derivedBody(text)).zipWithIndex
             .map { case (e, i) => (id, i.toLong + 1L, e.text, e.entityType, e.confidence) }
         }.toDF("doc_id", "ord", "surface", "entity_type", "confidence")
+    }),
+
+    "q38_entity_linking" -> ((s, dir) => {
+      // North-rule entity linking driver-checked end-to-end: NER mentions
+      // (context = the derived body) against a KB dimension derived from the
+      // corpus vocabulary (one entity per distinct token; deterministic
+      // prior). Single-token surfaces broadcast-join their alias; two-token
+      // person names find no candidate and exercise the unlinked (null)
+      // left-join path. ctx_sim/link_score are the operator's real formulas.
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val mentions = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val body = Corpus.derivedBody(text)
+          graft.analyze.DocAnalyze.extractEntities(body).zipWithIndex.map {
+            case (e, i) => (s"$id#${i + 1}", id, e.text, body)
+          }
+        }.toDF("mention_id", "doc_id", "surface", "context")
+      val kb = docs.select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
+        .select(col("tok").as("entity_id"),
+          concat(upper(substring(col("tok"), 1, 1)), substring(col("tok"), 2, 1000)).as("canonical_name"),
+          array(col("tok")).as("aliases"),
+          col("tok").as("profile"),
+          round(lit(0.3) + (length(col("tok")) % 5) * lit(0.1), 1).as("prior"))
+      graft.link.EntityLink.link(mentions, kb)
+        .select(col("mention_id"), col("doc_id"), col("surface"),
+          col("entity_id"), col("canonical_name"), col("ctx_sim"), col("link_score"))
     })
   )
 
@@ -851,6 +878,44 @@ object SparkEntry {
          SELECT doc_id,
                 CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY first_pos) AS BIGINT) AS ord,
                 surface, 'PERSON' AS entity_type, CAST(0.7 AS DOUBLE) AS confidence
-         FROM d"""
+         FROM d""",
+
+    // Entity linking replayed: same mention reconstruction as q37, KB from
+    // the distinct token vocabulary, broadcast-alias equi-join on the
+    // normalized surface, ctx_sim = |ctx ∩ profile| / sqrt(|ctx|·|profile|)
+    // (= 1/sqrt(distinct body tokens) here since the profile is one token
+    // that the surface guarantees is present), link_score = 0.6·ctx_sim +
+    // 0.4·prior on the ROUNDED ctx_sim — exactly EntityLink's formulas.
+    // Two-token person surfaces have no alias → null (unlinked) columns.
+    "q38_entity_linking" ->
+      """WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l FROM documents),
+         tt AS (SELECT doc_id,
+           array_to_string(list_transform(l, (x, i) ->
+             CASE WHEN i <= 2 OR (i - 1) % 7 = 0 THEN upper(substr(x, 1, 1)) || substr(x, 2) ELSE x END), ' ') AS body,
+           len(list_distinct(l)) AS nd
+           FROM tk),
+         caps AS (SELECT doc_id,
+           list_slice(regexp_extract_all(body, '[A-Z][a-z]+( [A-Z][a-z]+)*'), 1, 10) AS m FROM tt),
+         m0 AS (SELECT doc_id, unnest(m) AS surface, generate_subscripts(m, 1) AS pos FROM caps),
+         d AS (SELECT doc_id, surface, min(pos) AS first_pos FROM m0 GROUP BY 1, 2),
+         men AS (SELECT doc_id,
+                   CAST(doc_id AS VARCHAR) || '#' ||
+                     CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY first_pos) AS VARCHAR) AS mention_id,
+                   surface
+                 FROM d),
+         kb AS (SELECT DISTINCT unnest(l) AS tok FROM tk),
+         kbp AS (SELECT tok AS entity_id,
+                   upper(substr(tok, 1, 1)) || substr(tok, 2) AS canonical_name,
+                   round(0.3 + (length(tok) % 5) * 0.1, 1) AS prior
+                 FROM kb),
+         cand AS (SELECT m.mention_id, k.entity_id, k.canonical_name,
+                    round(1.0 / sqrt(t.nd), 6) AS ctx_sim,
+                    round(0.6 * round(1.0 / sqrt(t.nd), 6) + 0.4 * k.prior, 6) AS link_score
+                  FROM men m JOIN tt t ON m.doc_id = t.doc_id
+                  JOIN kbp k ON lower(m.surface) = k.entity_id)
+         SELECT m.mention_id, m.doc_id, m.surface,
+                c.entity_id, c.canonical_name, c.ctx_sim, c.link_score
+         FROM men m LEFT JOIN cand c ON m.mention_id = c.mention_id"""
   )
 }

@@ -29,7 +29,10 @@ object RunPipeline {
 
     val t0 = System.nanoTime()
     val pages = Corpus.pages(spark, n, partitions = cores.toInt * 4)
-    val result = Pipeline.run(spark, pages, runId = s"run_$n", outDir = outDir, resume = resume)
+    // fresh runId per ATTEMPT (the commit protocol refuses reuse — resume
+    // dedup rides on the lineage table, not on the run id)
+    val runId = s"run_${n}_${System.currentTimeMillis()}"
+    val result = Pipeline.run(spark, pages, runId = runId, outDir = outDir, resume = resume)
     val secs = (System.nanoTime() - t0) / 1e9
 
     val nodes = spark.read.parquet(s"$outDir/nodes")
