@@ -72,4 +72,38 @@ object StreamingPipeline {
           }
       }
   }
+
+  /** The bounded-memory production shape of `firstSeenDedup`: state for a
+    * fingerprint expires `horizonMs` after its last sighting
+    * (ProcessingTimeTimeout), so total state is bounded by the distinct
+    * fingerprints seen within the horizon instead of growing forever — at
+    * 100 TB/day that's the difference between a retention window and an
+    * unbounded store. Tradeoff (documented contract): a duplicate arriving
+    * AFTER the horizon re-emits — acceptable for training-data dedup where
+    * the downstream exact-dedup batch pass (q12) is the backstop. Every
+    * sighting renews the lease (sliding horizon).
+    */
+  def firstSeenDedupWithHorizon(docs: Dataset[(String, Long)],
+                                horizonMs: Long): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs.groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (fp: String, rows: Iterator[(String, Long)], state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            // timeout callbacks carry no data rows; drop the lease so the
+            // next sighting of this fingerprint re-emits
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            state.setTimeoutDuration(horizonMs) // renew the lease
+            Iterator.empty
+          } else {
+            state.update(true)
+            state.setTimeoutDuration(horizonMs)
+            Iterator.single((fp, rows.map(_._2).min))
+          }
+      }
+  }
 }

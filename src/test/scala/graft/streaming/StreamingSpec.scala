@@ -49,6 +49,42 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("A", 1L), ("B", 2L), ("C", 5L)))
   }
 
+  test("horizon-bounded dedup: suppresses within the lease, re-emits after expiry") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    // NOTE: once ProcessingTimeTimeout state is pending, the engine keeps
+    // scheduling timeout-evaluation micro-batches, so processAllAvailable()
+    // can block forever (observed) — poll the sink with a deadline instead.
+    val q = StreamingPipeline.firstSeenDedupWithHorizon(input.toDS(), horizonMs = 8000L)
+      .writeStream.format("memory").queryName("dedup_h").outputMode("append").start()
+    def sink(): Set[(String, Long)] = spark.sql("select * from dedup_h").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def waitFor(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(200)
+      assert(cond, s"timed out; sink=${sink()}")
+    }
+    input.addData(("A", 1L), ("B", 2L))
+    waitFor(sink() == Set(("A", 1L), ("B", 2L)))
+    // within the horizon: duplicate suppressed; prove the batch ran by
+    // pairing it with a new key and asserting only the new key lands
+    input.addData(("A", 9L), ("C", 3L))
+    waitFor(sink() == Set(("A", 1L), ("B", 2L), ("C", 3L)))
+    // let every lease expire, then fire a SEPARATING batch (new key D): the
+    // same batch evaluates the expired timeouts and removes A/B/C state —
+    // sending A in that first batch instead would renew its not-yet-fired
+    // lease rather than re-emit
+    Thread.sleep(10000)
+    input.addData(("D", 4L))
+    waitFor(sink().contains(("D", 4L)))
+    // A re-appears after expiry → re-emitted (the documented tradeoff)
+    input.addData(("A", 7L))
+    waitFor(sink() == Set(("A", 1L), ("B", 2L), ("C", 3L), ("D", 4L), ("A", 7L)))
+    q.stop()
+  }
+
   test("watermarked windowed event counts run in a micro-batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev").toString
