@@ -114,14 +114,15 @@ object Similarity {
       .select(col("nid").as("cid"), col("nemb").as("cemb"))
     for (_ <- 0 until iters) {
       val c = cents.select(col("cid"), col("cemb"), norm(col("cemb")).as("cnorm"))
-      val wA = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("nid")).orderBy(col("ccos").desc, col("cid").asc)
+      // argmax-by-key via min_by hash aggregate (map-side partial, no sort)
+      // — same ordering/tie-break as a (ccos desc, cid asc) row_number
+      // window, measured much faster (see EntityLink.link scaladoc)
       val assigned = mat.crossJoin(broadcast(c))
         .select(col("nid"),
           round(dot(col("nemb"), col("cemb")) / (col("nnorm") * col("cnorm")), 6).as("ccos"),
           col("cid"))
-        .withColumn("rn", row_number().over(wA)).where(col("rn") === 1)
-        .select(col("nid"), col("cid"))
+        .groupBy(col("nid"))
+        .agg(min_by(col("cid"), struct(negate(col("ccos")), col("cid"))).as("cid"))
       val coords = assigned.join(dims, Seq("nid"))
         .groupBy(col("cid"), col("pos"))
         .agg((aggregate(array_sort(collect_list(struct(col("nid"), col("val")))),
@@ -169,14 +170,17 @@ object Similarity {
         trainIvfCentroids(embeddings, centroids, trainIters, idCol, embCol)
       else mat.orderBy(col("nid").asc).limit(centroids)
         .select(col("nid").as("cid"), col("nemb").as("cemb"), col("nnorm").as("cnorm"))
-    // inverted lists: every vector → its nearest centroid (broadcast join)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("nid")).orderBy(col("ccos").desc, col("cid").asc)
+    // inverted lists: every vector → its nearest centroid (broadcast join);
+    // argmax via min_by hash aggregate — same (ccos desc, cid asc) order as
+    // a row_number window, without the per-partition sort
     val assigned = mat.crossJoin(broadcast(cents))
       .select(col("nid"), col("nemb"), col("nnorm"), col("cid"),
         round(dot(col("nemb"), col("cemb")) / (col("nnorm") * col("cnorm")), 6).as("ccos"))
-      .withColumn("rn", row_number().over(wAssign)).where(col("rn") === 1)
-      .select(col("nid"), col("nemb"), col("nnorm"), col("cid"))
+      .groupBy(col("nid"))
+      .agg(min_by(struct(col("nemb"), col("nnorm"), col("cid")),
+        struct(negate(col("ccos")), col("cid"))).as("b"))
+      .select(col("nid"), col("b.nemb").as("nemb"), col("b.nnorm").as("nnorm"),
+        col("b.cid").as("cid"))
     // query probe lists: nprobe nearest centroids per query vector
     val wProbe = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("ccos").desc, col("cid").asc)
