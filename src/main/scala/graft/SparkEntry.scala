@@ -28,10 +28,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     kgPipelineTriples(spark, "/root/testdata/sf0.001")
 
-  private def kgPipelineTriples(s: SparkSession, dir: String): DataFrame = {
+  private def kgPipelineTriples(s: SparkSession, dir: String, v1: Boolean = false): DataFrame = {
     import s.implicits._
     val pages = Corpus.pagesFromDocuments(s, dir)
-    Pipeline.docGraphs(s, pages)
+    Pipeline.docGraphs(s, pages, v1 = v1)
       .flatMap(g => graft.kg.GraphBuild.triples(g))
       .select($"customer_id", $"url", $"subj", $"pred", $"obj", $"confidence")
   }
@@ -312,6 +312,17 @@ object SparkEntry {
         }.toDF("doc_id", "ord", "surface", "entity_type", "confidence")
     }),
 
+    "q39_v1_smoothed_triples" -> ((s, dir) =>
+      // the v1 pipeline mode end-to-end on driver data: v2 build → J7
+      // co-occurrence (none fire on this corpus — no eligible type pairs) →
+      // J9 confidence smoothing (node pass with ORIGINAL edge confidences,
+      // then edge pass with UPDATED endpoint confidences); the oracle
+      // hand-replicates the smoothing arithmetic per route/parity/NER-gate
+      // combination, fold order and all, so the driver hash covers J9 and
+      // the v1 composition — previously engine-side (ParitySpec) evidence
+      // only
+      kgPipelineTriples(s, dir, v1 = true)),
+
     "q38_entity_linking" -> ((s, dir) => {
       // North-rule entity linking driver-checked end-to-end: NER mentions
       // (context = the derived body) against a KB dimension derived from the
@@ -351,8 +362,12 @@ object SparkEntry {
     *    influences) and standard (doc_*.html → influences, no discusses);
     *  - generic-routed docs emit NO triples (all needs scores at base 0.4).
     */
-  private def kgTriplesOracleSql: String =
-    """WITH tk AS (SELECT doc_id, source, lang,
+  /** Shared document-reconstruction CTEs for the KG-pipeline oracles
+    * (q25/q33/q39): derived body + persona, route, filename parity, and the
+    * F2-NER person gate — all from documents columns.
+    */
+  private def kgDocsCtes: String =
+    """tk AS (SELECT doc_id, source, lang,
            list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l FROM documents),
        tt AS (SELECT doc_id, source, lang,
            array_to_string(list_transform(l, (x, i) ->
@@ -365,8 +380,12 @@ object SparkEntry {
                 WHEN lang = 'en' THEN 'interview' ELSE 'generic' END AS route,
            (lang = 'en' AND doc_id % 2 = 0) AS ifile,
            len(regexp_extract_all(body, '[A-Z][a-z]+( [A-Z][a-z]+)*')) > 0 AS has_person
-         FROM tt),
-       pat AS (SELECT * FROM (VALUES
+         FROM tt)"""
+
+  private def kgTriplesOracleSql: String =
+    s"""WITH $kgDocsCtes,
+       pat AS (SELECT * FROM (VALUES""" +
+    """
            ('financial', false, 'person', 'demonstrates', 'Certainty', 0.8, false),
            ('financial', false, 'person', 'demonstrates', 'Growth', 0.6, false),
            ('financial', false, 'Certainty', 'influences', 'Strategic planner', 0.8, false),
@@ -389,6 +408,86 @@ object SparkEntry {
               p.pred AS pred, p.obj AS obj, CAST(p.confidence AS DOUBLE) AS confidence
        FROM docs d JOIN pat p ON d.route = p.route AND d.ifile = p.ifile
          AND (NOT p.needs_person OR d.has_person)"""
+
+  /** q39 oracle: the v1 pipeline's J9-smoothed triple confidences,
+    * hand-replicated as SQL arithmetic (independent of the engine).
+    *
+    * Smoothing (hypergraph_builder_agent.py:465-486): node' =
+    * (conf + mean(original supporting-edge confs)) / 2, then edge' =
+    * (conf + mean(UPDATED endpoint confs)) / 2. The expressions below
+    * mirror the engine's exact fold order (Seq.sum is a left fold from
+    * 0.0; 0.0 + x is IEEE-exact), so results are bit-identical doubles —
+    * no rounding is applied, exactly like the engine.
+    * person_gate: NULL = combo independent of the NER person gate; else
+    * the row applies only when has_person matches (en-even docs change
+    * BOTH the edge set and the persona mean when a person is found).
+    */
+  private def kgV1TriplesOracleSql: String = {
+    // financial (standard path; NER gate irrelevant — mentioned persons
+    // are dropped by the strict > 0.7 filter and themes have no edges)
+    val fPersona = "(0.95e0 + (0.8e0 + 0.6e0)/2e0)/2e0"
+    val fCert = "(0.8e0 + ((0.8e0 + 0.8e0) + 0.8e0)/3e0)/2e0" // demo + both influences
+    val fGrow = "(0.6e0 + 0.6e0)/2e0"
+    val fSP = "(0.8e0 + 0.8e0)/2e0" // Strategic planner / Risk manager identical
+    val fDemoCert = s"(0.8e0 + (($fPersona) + ($fCert))/2e0)/2e0"
+    val fDemoGrow = s"(0.6e0 + (($fPersona) + ($fGrow))/2e0)/2e0"
+    val fInfl = s"(0.8e0 + (($fCert) + ($fSP))/2e0)/2e0"
+    // interview, doc_*.html (standard relationship rules)
+    val oPersona = "(0.95e0 + ((0.8e0 + 0.6e0) + 0.7e0)/3e0)/2e0"
+    val oSig = "(0.8e0 + (0.8e0 + 0.8e0)/2e0)/2e0" // demonstrates + influences support
+    val oCon = "(0.6e0 + (0.6e0 + 0.8e0)/2e0)/2e0"
+    val oGro = "(0.7e0 + 0.7e0)/2e0"
+    val oBeh = "(0.8e0 + 0.8e0)/2e0" // Leadership-oriented / Collaborative
+    val oDemoSig = s"(0.8e0 + (($oPersona) + ($oSig))/2e0)/2e0"
+    val oDemoCon = s"(0.6e0 + (($oPersona) + ($oCon))/2e0)/2e0"
+    val oDemoGro = s"(0.7e0 + (($oPersona) + ($oGro))/2e0)/2e0"
+    val oInflSig = s"(0.8e0 + (($oSig) + ($oBeh))/2e0)/2e0"
+    val oInflCon = s"(0.8e0 + (($oCon) + ($oBeh))/2e0)/2e0"
+    // interview, interview_*.html (interview relationship rules: discusses,
+    // no influences); persona mean includes the discusses edge FIRST
+    // (personTopicRels precedes personNeedRels in the rule order) when the
+    // NER gate fires
+    val ePersonaP = "(0.95e0 + (((0.8e0 + 0.8e0) + 0.6e0) + 0.7e0)/4e0)/2e0"
+    val eRel = "(0.8e0 + 0.8e0)/2e0"
+    val eSig = "(0.8e0 + 0.8e0)/2e0"
+    val eCon = "(0.6e0 + 0.6e0)/2e0"
+    val eGro = "(0.7e0 + 0.7e0)/2e0"
+    val eDisc = s"(0.8e0 + (($ePersonaP) + ($eRel))/2e0)/2e0"
+    val eDemoSigP = s"(0.8e0 + (($ePersonaP) + ($eSig))/2e0)/2e0"
+    val eDemoConP = s"(0.6e0 + (($ePersonaP) + ($eCon))/2e0)/2e0"
+    val eDemoGroP = s"(0.7e0 + (($ePersonaP) + ($eGro))/2e0)/2e0"
+    // ... and without a person: no discusses edge, persona mean over 3
+    val eDemoSigN = s"(0.8e0 + (($oPersona) + ($eSig))/2e0)/2e0"
+    val eDemoConN = s"(0.6e0 + (($oPersona) + ($eCon))/2e0)/2e0"
+    val eDemoGroN = s"(0.7e0 + (($oPersona) + ($eGro))/2e0)/2e0"
+    s"""WITH $kgDocsCtes,
+       pat AS (SELECT * FROM (VALUES
+           ('financial', false, CAST(NULL AS BOOLEAN), 'person', 'demonstrates', 'Certainty', $fDemoCert),
+           ('financial', false, NULL, 'person', 'demonstrates', 'Growth', $fDemoGrow),
+           ('financial', false, NULL, 'Certainty', 'influences', 'Strategic planner', $fInfl),
+           ('financial', false, NULL, 'Certainty', 'influences', 'Risk manager', $fInfl),
+           ('interview', false, NULL, 'person', 'demonstrates', 'Significance', $oDemoSig),
+           ('interview', false, NULL, 'person', 'demonstrates', 'Connection', $oDemoCon),
+           ('interview', false, NULL, 'person', 'demonstrates', 'Growth', $oDemoGro),
+           ('interview', false, NULL, 'Significance', 'influences', 'Leadership-oriented', $oInflSig),
+           ('interview', false, NULL, 'Connection', 'influences', 'Collaborative', $oInflCon),
+           ('interview', true, true, 'person', 'demonstrates', 'Significance', $eDemoSigP),
+           ('interview', true, true, 'person', 'demonstrates', 'Connection', $eDemoConP),
+           ('interview', true, true, 'person', 'demonstrates', 'Growth', $eDemoGroP),
+           ('interview', true, true, 'person', 'discusses', 'Relationships', $eDisc),
+           ('interview', true, false, 'person', 'demonstrates', 'Significance', $eDemoSigN),
+           ('interview', true, false, 'person', 'demonstrates', 'Connection', $eDemoConN),
+           ('interview', true, false, 'person', 'demonstrates', 'Growth', $eDemoGroN)
+         ) t(route, ifile, person_gate, subj_kind, pred, obj, confidence))
+       SELECT d.source AS customer_id,
+              'https://corpus.local/customers/' || d.source || '/' ||
+                (CASE WHEN d.ifile THEN 'interview_' ELSE 'doc_' END) ||
+                CAST(d.doc_id AS VARCHAR) || '.html' AS url,
+              CASE WHEN p.subj_kind = 'person' THEN d.persona ELSE p.subj_kind END AS subj,
+              p.pred AS pred, p.obj AS obj, CAST(p.confidence AS DOUBLE) AS confidence
+       FROM docs d JOIN pat p ON d.route = p.route AND d.ifile = p.ifile
+         AND (p.person_gate IS NULL OR p.person_gate = d.has_person)"""
+  }
 
   /** Shared SimHash CTE chain for the q26/q36 oracles: per-token md5 votes →
     * 16-char hex reassembly, ending in `sh(doc_id, simhash)`.
@@ -692,6 +791,8 @@ object SparkEntry {
          FROM ($kgTriplesOracleSql) trip GROUP BY 1""",
 
     "q25_kg_pipeline_triples" -> kgTriplesOracleSql,
+
+    "q39_v1_smoothed_triples" -> kgV1TriplesOracleSql,
 
     // LSH-verified near-dup (the 100 TB dedup shape): candidates from the
     // q17 band join, verified with the q16 exact Jaccard — composed here so
