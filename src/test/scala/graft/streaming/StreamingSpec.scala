@@ -57,7 +57,10 @@ class StreamingSpec extends SparkSpec {
     // NOTE: once ProcessingTimeTimeout state is pending, the engine keeps
     // scheduling timeout-evaluation micro-batches, so processAllAvailable()
     // can block forever (observed) — poll the sink with a deadline instead.
-    val q = StreamingPipeline.firstSeenDedupWithHorizon(input.toDS(), horizonMs = 8000L)
+    // 20 s lease: the suppression assertions depend on batches landing
+    // inside the horizon, and this host's steal storms can stall a batch
+    // for seconds — size the lease well past any observed stall
+    val q = StreamingPipeline.firstSeenDedupWithHorizon(input.toDS(), horizonMs = 20000L)
       .writeStream.format("memory").queryName("dedup_h").outputMode("append").start()
     def sink(): Set[(String, Long)] = spark.sql("select * from dedup_h").collect()
       .map(r => (r.getString(0), r.getLong(1))).toSet
@@ -76,7 +79,7 @@ class StreamingSpec extends SparkSpec {
     // same batch evaluates the expired timeouts and removes A/B/C state —
     // sending A in that first batch instead would renew its not-yet-fired
     // lease rather than re-emit
-    Thread.sleep(10000)
+    Thread.sleep(25000)
     input.addData(("D", 4L))
     waitFor(sink().contains(("D", 4L)))
     // A re-appears after expiry → re-emitted (the documented tradeoff)
