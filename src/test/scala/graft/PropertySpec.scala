@@ -97,6 +97,23 @@ object GraftProperties extends Properties("graft") {
       sp.forall(_.nonEmpty) && sp.length == graft.text.PyText.wordCount(s)
     }
 
+  property("simhash banding pigeonhole: hamming <= 3 pairs always share a 16-bit band") =
+    forAll(Gen.long, Gen.choose(0, 3), Gen.listOfN(3, Gen.choose(0, 63))) { (base, _, flips) =>
+      val other = flips.foldLeft(base)((v, b) => v ^ (1L << b)) // <=3 bits differ
+      val bands = (0 until 4).map(b => ((base >>> (16 * b)) & 0xffff, (other >>> (16 * b)) & 0xffff))
+      java.lang.Long.bitCount(base ^ other) > 3 || bands.exists(p => p._1 == p._2)
+    }
+
+  property("F12 redactColumn contract (driver twin): nested strings never leak an email") = {
+    val email = Gen.oneOf("a@b.co", "x.y@z.org")
+    forAll(Gen.listOf(Gen.oneOf(email, Gen.const("clean text")))) { parts =>
+      // redactString is the same pattern chain redactColumn applies at every
+      // nesting level; no element may retain a matching email
+      parts.map(graft.io.Redact.redactString)
+        .forall(!_.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"))
+    }
+  }
+
   property("U5 assembly: labels unique given no pre-existing collisions among needs") =
     forAll(Gen.listOf(Gen.oneOf("T1", "T2", "T3", "")),
            Gen.listOf(Gen.oneOf("P1", "P2", "T1")),

@@ -184,6 +184,27 @@ class OpsSpec extends SparkSpec {
     assert(trained >= 0.95, s"trained recall $trained")
   }
 
+  test("trainIvfCentroids is partitioning-invariant: bit-identical centroids at any parallelism") {
+    import spark.implicits._
+    // the determinism claim behind the q35 oracle: the centroid update is a
+    // sequential fold over id-SORTED values, so physical partitioning must
+    // not change a single bit of any coordinate
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, (0 until 12).map(j => ((((i * 37 + j * 11) % 19) - 9) * 0.07f)))
+    }.toDF("vec_id", "embedding")
+    def train(parts: Int): Seq[(Long, Seq[Double])] =
+      Similarity.trainIvfCentroids(vecs.repartition(parts), centroids = 8, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val one = train(1)
+    val seven = train(7)
+    assert(one.map(_._1) == seven.map(_._1))
+    one.zip(seven).foreach { case ((cid, ca), (_, cb)) =>
+      assert(ca.length == cb.length && ca.indices.forall(i =>
+        java.lang.Double.doubleToLongBits(ca(i)) == java.lang.Double.doubleToLongBits(cb(i))),
+        s"centroid $cid differs across partitionings")
+    }
+  }
+
   test("multimodal: PNG/JPEG/WAV header decoders recover the encoded values") {
     assert(Multimodal.decodePng(Multimodal.pngBytes(7L, 640, 480)) == Some((640, 480)))
     // JPEG parser must WALK past APP0 to the SOF segment
