@@ -312,6 +312,11 @@ object SparkEntry {
         }.toDF("doc_id", "ord", "surface", "entity_type", "confidence")
     }),
 
+    "q40_repetition_stats" -> ((s, dir) =>
+      // Gopher-rule repetition filters (duplicate-bigram mass, top-bigram
+      // share, mean word length) — the standard webtext quality signals
+      TextOps.repetitionStats(t(s, dir, "documents"))),
+
     "q39_v1_smoothed_triples" -> ((s, dir) =>
       // the v1 pipeline mode end-to-end on driver data: v2 build → J7
       // co-occurrence (none fire on this corpus — no eligible type pairs) →
@@ -793,6 +798,23 @@ object SparkEntry {
     "q25_kg_pipeline_triples" -> kgTriplesOracleSql,
 
     "q39_v1_smoothed_triples" -> kgV1TriplesOracleSql,
+
+    "q40_repetition_stats" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l FROM documents),
+         base AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+                    CAST(length(array_to_string(l, '')) AS BIGINT) AS tok_chars, l FROM tk),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         bi AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS bg
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+         cnt AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY 1, 2),
+         st AS (SELECT doc_id, sum(c) AS n_bigrams, count(*) AS n_distinct, max(c) AS top_c
+                FROM cnt GROUP BY 1)
+         SELECT b.doc_id,
+                CAST(coalesce(st.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                round(coalesce(CAST(st.n_distinct AS DOUBLE) / st.n_bigrams, 0e0), 6) AS distinct_bigram_ratio,
+                round(coalesce(CAST(st.top_c AS DOUBLE) / st.n_bigrams, 0e0), 6) AS top_bigram_share,
+                round(CASE WHEN b.n_tokens > 0 THEN CAST(b.tok_chars AS DOUBLE) / b.n_tokens ELSE 0e0 END, 6) AS mean_word_len
+         FROM base b LEFT JOIN st ON b.doc_id = st.doc_id""",
 
     // LSH-verified near-dup (the 100 TB dedup shape): candidates from the
     // q17 band join, verified with the q16 exact Jaccard — composed here so

@@ -109,6 +109,37 @@ object TextOps {
         lit(0.3) * (lit(1.0) - when(c > 0, p / c).otherwise(0.0)), 6)
   }
 
+  /** Gopher-style repetition/quality signals per document (Rae et al. 2021
+    * §A1.1 — the standard webtext "repetitious text" filters): bigram count,
+    * distinct-bigram ratio, top-bigram share (the mass of the single most
+    * repeated 2-gram), and mean word length. One narrow bigram explode +
+    * one (doc, bigram) count + one per-doc reduction — two shuffles total,
+    * both keyed on (doc_id[, bigram]) so they are uniform at 100 TB; docs
+    * without bigrams keep a row (left join, zeroed stats).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(concat_ws("", col("toks"))).cast("long").as("tok_chars"),
+        NearDup.shingleArr(col("toks"), 2).as("bi"))
+    val counts = base.select(col("doc_id"), explode(col("bi")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy(col("doc_id")).agg(
+      sum(col("c")).as("n_bigrams"),
+      count(lit(1)).as("n_distinct_bigrams"),
+      max(col("c")).as("top_c"))
+    base.join(stats, Seq("doc_id"), "left").select(
+      col("doc_id"),
+      coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+      round(coalesce(col("n_distinct_bigrams").cast("double") / col("n_bigrams"), lit(0.0)), 6)
+        .as("distinct_bigram_ratio"),
+      round(coalesce(col("top_c").cast("double") / col("n_bigrams"), lit(0.0)), 6)
+        .as("top_bigram_share"),
+      round(when(col("n_tokens") > 0, col("tok_chars").cast("double") / col("n_tokens"))
+        .otherwise(0.0), 6).as("mean_word_len"))
+  }
+
   /** Exact dedup: canonical doc per identical text = min doc_id of the
     * md5(text) group (hash-groupBy; partial agg map-side, single shuffle
     * on the 32-byte hash — minimal exchange at 100 TB).

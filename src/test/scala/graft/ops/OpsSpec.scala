@@ -315,6 +315,23 @@ class OpsSpec extends SparkSpec {
     assert(NearDup.simhashMd5Hex(null) == "0000000000000000")
   }
 
+  test("repetition stats (Gopher rules): bigram ratios, top share, mean word length") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "a b a b c",              // bigrams: a-b, b-a, a-b, b-c
+      2L -> "x x x x",                // one repeated bigram
+      3L -> "only",                   // no bigrams
+      4L -> "alpha beta gamma")
+    val out = TextOps.repetitionStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((4L, 0.75, 0.5, 1.0)))
+    assert(out(2L) == ((3L, round6(1.0 / 3), 1.0, 1.0)))
+    assert(out(3L) == ((0L, 0.0, 0.0, 4.0)))
+    assert(out(4L) == ((2L, 1.0, 0.5, round6(14.0 / 3))))
+  }
+
+  private def round6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   test("langid guess and votes") {
     val d = docs(1L -> "the cat and the dog of a tree", 2L -> "der hund und die katze und das haus")
     val out = d.select(col("doc_id"), TextOps.langGuess(col("text")).as("g")).collect()
