@@ -173,7 +173,7 @@ object Bench {
       "q11_doc_stats", "q12_exact_dedup", "q15_minhash", "q34_neardup_lsh_verified",
       "q17_lsh_candidates", "q36_simhash_neardup", "q23_ann_cosine_topk",
       "q35_ann_ivf_topk", "q25_kg_pipeline_triples", "q39_v1_smoothed_triples",
-      "q37_ner_mentions", "q38_entity_linking")
+      "q37_ner_mentions", "q38_entity_linking", "q40_repetition_stats")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

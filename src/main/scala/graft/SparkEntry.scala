@@ -312,6 +312,25 @@ object SparkEntry {
         }.toDF("doc_id", "ord", "surface", "entity_type", "confidence")
     }),
 
+    "q41_sessionization" -> ((s, dir) => {
+      // gap-based sessionization (12 h): the classic stateful-window op —
+      // lag diff flags session starts, a running sum numbers sessions, one
+      // aggregation yields per-session stats. Both windows and the agg key
+      // on user_id (unique ordering by (ts, event_id)), so no skew and the
+      // shuffles stay uniform at scale.
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      t(s, dir, "events")
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(byUser)))
+        .withColumn("new_session", when(col("gap_s") > 43200, 1).otherwise(0))
+        .withColumn("session_idx", sum(col("new_session")).over(byUser).cast("long"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+          (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts"))))
+            .cast("long").as("duration_sec"))
+    }),
+
     "q40_repetition_stats" -> ((s, dir) =>
       // Gopher-rule repetition filters (duplicate-bigram mass, top-bigram
       // share, mean word length) — the standard webtext quality signals
@@ -798,6 +817,23 @@ object SparkEntry {
     "q25_kg_pipeline_triples" -> kgTriplesOracleSql,
 
     "q39_v1_smoothed_triples" -> kgV1TriplesOracleSql,
+
+    // floor(epoch(...)) everywhere: Spark's unix_timestamp truncates to
+    // whole seconds while DuckDB's epoch() keeps the microsecond fraction —
+    // the explicit floor makes both engines compare/subtract the same values
+    "q41_sessionization" ->
+      """WITH o AS (SELECT user_id, event_id, ts,
+           CAST(floor(epoch(ts)) AS BIGINT) -
+             CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+         FROM events),
+         s AS (SELECT user_id, ts,
+           sum(CASE WHEN gap_s > 43200 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+         FROM o)
+         SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+                min(ts) AS start_ts, max(ts) AS end_ts,
+                CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+         FROM s GROUP BY 1, 2""",
 
     "q40_repetition_stats" ->
       """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l FROM documents),
