@@ -101,13 +101,34 @@ object Similarity {
     *
     * Scale shape: the corpus side is one narrow pass per iteration
     * (broadcast centroids), the update shuffles only (centroids × dim)
-    * groups; at 10⁹ vectors you'd train on a sample with the same code.
+    * groups — but the ordered-fold mean buffers EVERY member value per
+    * (cid, pos) group, so at 10⁹ vectors training must run on a sample:
+    * pass `maxTrainVectors` and the trainer keeps ids where
+    * pmod(xxhash64(nid), ceil(n/maxTrainVectors)) = 0 — a deterministic,
+    * partitioning-independent id-hash sample — and runs the IDENTICAL
+    * code path on the survivors (seeds = smallest sampled ids, so sampled
+    * training ≡ full training on the sampled subset, bit for bit; tested).
+    * The collect_list buffer is then bounded by ~maxTrainVectors/centroids
+    * values per group. 0 (default) trains on everything — the
+    * oracle-replayed configuration.
     */
   def trainIvfCentroids(embeddings: DataFrame, centroids: Int = 16, iters: Int = 2,
-                        idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    val mat = embeddings
+                        idCol: String = "vec_id", embCol: String = "embedding",
+                        maxTrainVectors: Long = 0L): DataFrame = {
+    val full = embeddings
       .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
       .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
+    val sampled =
+      if (maxTrainVectors <= 0L) full
+      else {
+        // one count action to size the modulus — training already runs
+        // iters+1 actions via localCheckpoint, and the count reuses the
+        // (pruned, narrow) scan; the sample itself is a pushed-down filter
+        val n = full.count()
+        val mod = math.max(1L, (n + maxTrainVectors - 1L) / maxTrainVectors)
+        full.where(pmod(xxhash64(col("nid")), lit(mod)) === 0L)
+      }
+    val mat = sampled
       .localCheckpoint() // reused iters+1 times — materialize the cast/norm once
     val dims = mat.select(col("nid"), posexplode(col("nemb")).as(Seq("pos", "val")))
     var cents = mat.orderBy(col("nid").asc).limit(centroids)
@@ -150,7 +171,9 @@ object Similarity {
     * The quantizer is k-means-trained (`trainIters` deterministic rounds,
     * see trainIvfCentroids) — recall with trained centroids beats the raw
     * first-N seed set whenever the data is clustered (tested); pass
-    * trainIters = 0 for the untrained seed quantizer.
+    * trainIters = 0 for the untrained seed quantizer, and `maxTrainVectors`
+    * at large N to bound the training shuffle by a deterministic id-hash
+    * sample (assignment/probe/re-rank still cover every vector).
     *
     * All orderings tie-break on (rounded cosine desc, id asc), so results
     * are deterministic and engine-portable (the DuckDB oracle reconstructs
@@ -158,7 +181,8 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
               centroids: Int = 16, nprobe: Int = 4, trainIters: Int = 2,
-              idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", embCol: String = "embedding",
+              maxTrainVectors: Long = 0L): DataFrame = {
     val mat = embeddings
       .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
       .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
@@ -167,7 +191,7 @@ object Similarity {
     // plans as TakeOrderedAndProject (per-partition top-N, no full sort)
     val cents =
       if (trainIters > 0)
-        trainIvfCentroids(embeddings, centroids, trainIters, idCol, embCol)
+        trainIvfCentroids(embeddings, centroids, trainIters, idCol, embCol, maxTrainVectors)
       else mat.orderBy(col("nid").asc).limit(centroids)
         .select(col("nid").as("cid"), col("nemb").as("cemb"), col("nnorm").as("cnorm"))
     // inverted lists: every vector → its nearest centroid (broadcast join);

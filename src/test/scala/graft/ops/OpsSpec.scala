@@ -205,6 +205,53 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("sampled IVF training ≡ full training on the sampled subset, bit for bit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, (0 until 12).map(j => ((((i * 37 + j * 11) % 19) - 9) * 0.07f)))
+    }.toDF("vec_id", "embedding")
+    // maxTrainVectors=100 on 400 vectors → mod 4: the trainer must behave
+    // exactly as if invoked unsampled on the pmod(xxhash64)=0 survivors
+    val sampled = Similarity.trainIvfCentroids(vecs, centroids = 8, iters = 2,
+      maxTrainVectors = 100L).collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1).toSeq
+    val subset = vecs.where(pmod(xxhash64(col("vec_id")), lit(4L)) === 0L)
+    val replay = Similarity.trainIvfCentroids(subset, centroids = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(sampled.map(_._1) == replay.map(_._1))
+    sampled.zip(replay).foreach { case ((cid, ca), (_, cb)) =>
+      assert(ca.length == cb.length && ca.indices.forall(i =>
+        java.lang.Double.doubleToLongBits(ca(i)) == java.lang.Double.doubleToLongBits(cb(i))),
+        s"centroid $cid differs between sampled and subset-replayed training")
+    }
+    // the sample is real: strictly fewer training vectors than the corpus
+    assert(subset.count() < 400 && subset.count() > 0)
+  }
+
+  test("IVF with sampled training keeps recall on clustered data") {
+    import spark.implicits._
+    // same 8-one-hot-cluster corpus as the trained-quantizer test; training
+    // on a ~1/3 id-hash sample must still recover the cluster structure
+    val dim = 16
+    val vecs = (0 until 600).map { i =>
+      val k = i % 8
+      val v = (0 until dim).map(j =>
+        (if (j == 2 * k) 1.0f else 0.0f) + (((i * 31 + j * 17) % 7) - 3) * 0.02f)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val queries = Seq(30L, 55L, 85L, 110L, 135L, 165L, 190L)
+    val truth = Similarity.bruteForceTopK(vecs, queries, 5).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val got = Similarity.ivfTopK(vecs, queries, 5, centroids = 8, nprobe = 2,
+      trainIters = 2, maxTrainVectors = 200L)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val recall =
+      queries.map(q => (got.getOrElse(q, Set.empty[Long]) & truth(q)).size / 5.0).sum / queries.size
+    assert(recall >= 0.9, s"sampled-training IVF recall $recall")
+  }
+
   test("multimodal: PNG/JPEG/WAV header decoders recover the encoded values") {
     assert(Multimodal.decodePng(Multimodal.pngBytes(7L, 640, 480)) == Some((640, 480)))
     // JPEG parser must WALK past APP0 to the SOF segment
