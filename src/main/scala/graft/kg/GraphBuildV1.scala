@@ -62,6 +62,19 @@ object GraphBuildV1 {
     } yield KgEdge(s"edge_${n1.id}_${n2.id}_co_occurrence", n1.id, n2.id,
       "co_occurrence", strength, Nil, "Co-occurrence proximity (v1)")
 
+  /** Temporal indexing (hypergraph_builder_agent.py:448-461): stamp every
+    * node and edge with `temporal_index` = its creation timestamp and
+    * `temporal_category` = the constant 'present' ("for now, use creation
+    * timestamp" — the reference's placeholder for future content-derived
+    * temporality). Runs between the co-occurrence edge pass and J9
+    * smoothing, mirroring the v1 flow. The timestamp is write-time-only and
+    * excluded from parity like F18; the category is static.
+    */
+  def applyTemporalIndexing(nodes: Seq[KgNode], edges: Seq[KgEdge],
+                            timestamp: String): (Seq[KgNode], Seq[KgEdge]) = (
+    nodes.map(_.copy(temporalIndex = timestamp, temporalCategory = "present")),
+    edges.map(_.copy(temporalIndex = timestamp, temporalCategory = "present")))
+
   /** J9 — confidence smoothing (hypergraph_builder_agent.py:465-486): every
     * node's confidence is averaged with the mean confidence of its
     * supporting edges, THEN every edge's confidence is averaged with the
@@ -114,11 +127,15 @@ object GraphBuildV1 {
     out.toSeq
   }
 
-  /** The opt-in v1 composition over a document. */
-  def buildV1(doc: DocAnalysis, needs: NeedsProfile): DocGraph = {
+  /** The opt-in v1 composition over a document: v2 build → J7 co-occurrence
+    * edges → temporal stamps → J9 smoothing. `temporalIndex` is the run's
+    * write-time string (empty → fields stay blank-index/'present'-category).
+    */
+  def buildV1(doc: DocAnalysis, needs: NeedsProfile, temporalIndex: String = ""): DocGraph = {
     val g = GraphBuild.build(doc, needs)
     val withCo = g.edges ++ cooccurrenceEdges(g.nodes, doc.text)
-    val (nodes2, edges2) = smoothConfidences(g.nodes, withCo)
+    val (nodes1, edges1) = applyTemporalIndexing(g.nodes, withCo, temporalIndex)
+    val (nodes2, edges2) = smoothConfidences(nodes1, edges1)
     g.copy(nodes = nodes2, edges = edges2)
   }
 }

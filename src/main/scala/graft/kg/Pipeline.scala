@@ -48,10 +48,12 @@ object Pipeline {
     * edges + J9 confidence smoothing, see GraphBuildV1); `enricher` is the
     * §2.9 pluggable enrichment seam (no-op default).
     */
-  def buildDoc(p: Page, v1: Boolean = false, enricher: Enricher = NoopEnricher): DocGraph = {
+  def buildDoc(p: Page, v1: Boolean = false, enricher: Enricher = NoopEnricher,
+               temporalIndex: String = ""): DocGraph = {
     val doc = DocAnalyze.analyze(p)
     val needs = Needs.profile(doc)
-    if (v1) GraphBuildV1.buildV1(doc, needs) else GraphBuild.build(doc, needs, enricher)
+    if (v1) GraphBuildV1.buildV1(doc, needs, temporalIndex)
+    else GraphBuild.build(doc, needs, enricher)
   }
 
   /** pages → Dataset[DocGraph] with per-partition metrics + lineage capture.
@@ -59,16 +61,19 @@ object Pipeline {
     * ride on accumulators-free side channel (emitted as data, north rule's
     * per-partition metrics table).
     */
-  def docGraphs(spark: SparkSession, pages: Dataset[Page], v1: Boolean = false): Dataset[DocGraph] = {
+  def docGraphs(spark: SparkSession, pages: Dataset[Page], v1: Boolean = false,
+                temporalIndex: String = ""): Dataset[DocGraph] = {
     import spark.implicits._
-    pages.mapPartitions(_.map(p => buildDoc(p, v1)))
+    pages.mapPartitions(_.map(p => buildDoc(p, v1, NoopEnricher, temporalIndex)))
   }
 
   /** Variant keeping the NER mentions (context = leading 400 chars). */
-  def buildDocOut(p: Page, v1: Boolean = false, enricher: Enricher = NoopEnricher): DocOut = {
+  def buildDocOut(p: Page, v1: Boolean = false, enricher: Enricher = NoopEnricher,
+                  temporalIndex: String = ""): DocOut = {
     val doc = DocAnalyze.analyze(p)
     val needs = Needs.profile(doc)
-    val g = if (v1) GraphBuildV1.buildV1(doc, needs) else GraphBuild.build(doc, needs, enricher)
+    val g = if (v1) GraphBuildV1.buildV1(doc, needs, temporalIndex)
+            else GraphBuild.build(doc, needs, enricher)
     val ctx = doc.text.take(400)
     DocOut(g, doc.entities.zipWithIndex.map { case (e, i) =>
       MentionRow(doc.url, i, e.text, e.entityType, ctx)
@@ -82,7 +87,8 @@ object Pipeline {
     */
   def docGraphsWithPartition(spark: SparkSession, pages: Dataset[Page],
                              v1: Boolean = false,
-                             enricher: Enricher = NoopEnricher): Dataset[(DocOut, Int, Long)] = {
+                             enricher: Enricher = NoopEnricher,
+                             temporalIndex: String = ""): Dataset[(DocOut, Int, Long)] = {
     import spark.implicits._
     pages.mapPartitions { it =>
       val tc = org.apache.spark.TaskContext.get()
@@ -91,7 +97,7 @@ object Pipeline {
       if (tc != null) tc.addTaskCompletionListener[Unit](_ => enricher.close())
       it.map { p =>
         val t0 = System.nanoTime()
-        val out = buildDocOut(p, v1, enricher)
+        val out = buildDocOut(p, v1, enricher, temporalIndex)
         (out, pid, System.nanoTime() - t0)
       }
     }
@@ -138,22 +144,29 @@ object Pipeline {
         pages.join(done, Seq("url"), "left_anti").as[Page]
       } else pages
 
-    val graphs = docGraphsWithPartition(spark, todo, v1, enricher)
+    // v1 temporal stamps use ONE write-time string for the whole run
+    // (reference stamps each object's creation time; F18 makes timestamps
+    // write-time-only and parity-excluded, so run start is the stamp)
+    val temporalIndex = if (v1) java.time.Instant.now().toString else ""
+    val graphs = docGraphsWithPartition(spark, todo, v1, enricher, temporalIndex)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- flat node/edge/triple tables (narrow explodes)
     val nodeRows = graphs.flatMap { case (o, _, _) =>
       val g = o.graph
-      g.nodes.map(n => (g.customerId, g.url, n.id, n.content, n.nodeType, n.confidence, n.source))
-    }.toDF("customer_id", "url", "node_id", "content", "node_type", "confidence", "source_file")
+      g.nodes.map(n => (g.customerId, g.url, n.id, n.content, n.nodeType, n.confidence, n.source,
+        n.temporalIndex, n.temporalCategory))
+    }.toDF("customer_id", "url", "node_id", "content", "node_type", "confidence", "source_file",
+      "temporal_index", "temporal_category")
       .withColumn("run_id", lit(runId))
 
     val edgeRows = graphs.flatMap { case (o, _, _) =>
       val g = o.graph
       g.edges.map(e => (g.customerId, g.url, e.id, e.srcId, e.dstId, e.edgeType, e.confidence,
-        e.evidence, e.reasoning))
+        e.evidence, e.reasoning, e.temporalIndex, e.temporalCategory))
     }.toDF("customer_id", "url", "edge_id", "source_node_id", "target_node_id",
-      "relationship_type", "weight", "evidence", "reasoning")
+      "relationship_type", "weight", "evidence", "reasoning",
+      "temporal_index", "temporal_category")
       .withColumn("run_id", lit(runId))
 
     val tripleRows = graphs.flatMap { case (o, _, _) => GraphBuild.triples(o.graph) }.toDF()

@@ -93,7 +93,12 @@ final case class KgNode(
     source: String,
     extractionSource: String,
     context: String,
-    domainRelevance: Double)
+    domainRelevance: Double,
+    // v1 temporal indexing (hypergraph_builder_agent.py:448-461): stamped by
+    // GraphBuildV1.applyTemporalIndexing; write-time-only like F18, so both
+    // are excluded from parity. Empty in v2 mode.
+    temporalIndex: String = "",
+    temporalCategory: String = "")
 
 final case class KgEdge(
     id: String,
@@ -102,7 +107,10 @@ final case class KgEdge(
     edgeType: String,
     confidence: Double,
     evidence: Seq[String],
-    reasoning: String)
+    reasoning: String,
+    // see KgNode — v1 temporal stamps, parity-excluded
+    temporalIndex: String = "",
+    temporalCategory: String = "")
 
 final case class DocGraph(
     url: String,

@@ -166,8 +166,15 @@ object NearDup {
     val ds = shingleRows(docs, idCol, textCol)
       .localCheckpoint()
     val cands = lshCandidates(lshBands(minhashFromShingleRows(ds, k), rowsPerBand), maxBucket)
+    verifyJaccard(ds, cands, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against precomputed
+    * (doc_id, shingle) rows. Equi-join keys (d1) then (d2, shingle): hash
+    * joins, no per-pair cross.
+    */
+  private def verifyJaccard(ds: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // equi-join keys (d1) then (d2, shingle): hash joins, no per-pair cross
     val inter = cands
       .join(ds.withColumnRenamed("doc_id", "d1"), Seq("d1"))
       .join(ds.withColumnRenamed("doc_id", "d2"), Seq("d2", "shingle"))
@@ -178,6 +185,57 @@ object NearDup {
       .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
       .where(col("jaccard") > threshold)
       .select("d1", "d2", "jaccard")
+  }
+
+  /** Buckets the `maxBucket` guardrail would prune: one cheap COUNT
+    * aggregation per (band, band_sig) — map-side partial, member lists never
+    * collected. Exactly the buckets `lshCandidates(_, maxBucket)` drops.
+    * Output: (band, band_sig, bucket_size) with bucket_size > maxBucket.
+    */
+  def lshOverflowBuckets(bands: DataFrame, maxBucket: Int): DataFrame =
+    bands.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
+
+  /** Scale-entrypoint result: verified pairs plus the ACCOUNTED drops (no
+    * silent caps — every pruned bucket is visible with its size).
+    */
+  final case class ScaledNearDup(pairs: DataFrame, droppedBuckets: DataFrame) {
+    /** Materializes the (tiny) overflow summary, WARN-logs it when nonempty,
+      * and returns (droppedBucketCount, largestBucketSize).
+      */
+    def logDrops(): (Long, Long) = {
+      val row = droppedBuckets
+        .agg(count(lit(1)).as("nb"), coalesce(max(col("bucket_size")), lit(0L)).as("mx"))
+        .head()
+      val (nb, mx) = (row.getLong(0), row.getLong(1))
+      if (nb > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lshVerifiedPairsScaled pruned $nb over-cap LSH buckets (largest $mx members); " +
+            "pairs within them were NOT emitted — run exact dedup first or raise maxBucket")
+      (nb, mx)
+    }
+  }
+
+  /** The 100 TB near-dup entrypoint: `lshVerifiedPairs` with the
+    * quadratic-bucket guardrail ON by default (maxBucket = 1024 ≈ 0.5M pairs
+    * per worst-case bucket) and the drops accounted: `.droppedBuckets` lists
+    * every pruned (band, band_sig, size) and `.logDrops()` WARN-logs the
+    * summary. A bucket of N near-identical docs yields N²/2 pairs under ANY
+    * algorithm, so the right fix for overflow is exact dedup (q12) first —
+    * this entry makes that failure loud instead of letting a mega-cluster
+    * take the job down. The unlimited `lshVerifiedPairs` stays as the
+    * oracle-exact form. Both frames share one checkpointed shingle scan.
+    */
+  def lshVerifiedPairsScaled(docs: DataFrame, threshold: Double, k: Int = 8, rowsPerBand: Int = 4,
+                             maxBucket: Int = 1024,
+                             idCol: String = "doc_id", textCol: String = "text"): ScaledNearDup = {
+    val ds = shingleRows(docs, idCol, textCol)
+      .localCheckpoint()
+    val bands = lshBands(minhashFromShingleRows(ds, k), rowsPerBand)
+    ScaledNearDup(
+      pairs = verifyJaccard(ds, lshCandidates(bands, maxBucket), threshold),
+      droppedBuckets = lshOverflowBuckets(bands, maxBucket))
   }
 
   /** 64-bit SimHash over whitespace tokens: per bit, majority vote of token

@@ -72,4 +72,31 @@ class GraphBuildV1Spec extends AnyFunSuite {
       existingLabels = Seq("Known"))
     assert(out2.isEmpty)
   }
+
+  test("temporal indexing (v1:448-461): every node/edge stamped, 'present', between co-occur and smoothing") {
+    def node(id: String, c: Double) =
+      graft.model.KgNode(id, id, "skill", c, "s", "x", "", 1.0)
+    def edge(a: String, b: String, c: Double) =
+      graft.model.KgEdge(s"e_${a}_$b", a, b, "relates_to", c, Nil, "")
+    val (ns, es) = GraphBuildV1.applyTemporalIndexing(
+      Seq(node("n1", 0.8), node("n2", 0.4)), Seq(edge("n1", "n2", 0.6)), "2026-08-17T00:00:00Z")
+    assert(ns.forall(n => n.temporalIndex == "2026-08-17T00:00:00Z" && n.temporalCategory == "present"))
+    assert(es.forall(e => e.temporalIndex == "2026-08-17T00:00:00Z" && e.temporalCategory == "present"))
+    // confidences untouched by the stamp pass
+    assert(ns.map(_.confidence) == Seq(0.8, 0.4) && es.head.confidence == 0.6)
+    // buildV1 surfaces the stamps on every node and edge (incl. co-occurrence
+    // edges, which are created BEFORE the stamp pass); v2 build leaves them empty
+    val body = "Interviewer: Jane discusses leadership and strategy today.\n" +
+      "Jane: I value growth and certainty in business planning."
+    val page = graft.model.Page("https://x.org/customers/7_jane_doe/interview_a.html",
+      new java.sql.Timestamp(0L), graft.text.TextExtract.wrapHtml(body, "a"), body, "en")
+    val doc = graft.analyze.DocAnalyze.analyze(page)
+    val needs = graft.needs.Needs.profile(doc)
+    val v1g = GraphBuildV1.buildV1(doc, needs, temporalIndex = "TS")
+    assert(v1g.nodes.nonEmpty && v1g.nodes.forall(n =>
+      n.temporalIndex == "TS" && n.temporalCategory == "present"))
+    assert(v1g.edges.forall(e => e.temporalIndex == "TS" && e.temporalCategory == "present"))
+    val v2g = graft.kg.GraphBuild.build(doc, needs)
+    assert(v2g.nodes.forall(n => n.temporalIndex == "" && n.temporalCategory == ""))
+  }
 }

@@ -68,6 +68,34 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall: missed ${exact -- viaLsh}")
   }
 
+  test("lshVerifiedPairsScaled: guardrail prunes the mega-bucket, drops are accounted") {
+    import spark.implicits._
+    // a 12-doc identical cluster (all 8 bands collide → every bucket size 12)
+    // plus one genuine near-dup pair and one loner
+    val mega = (0L until 12L).map(i => (i, "the quick brown fox jumps over the lazy sleeping dog tonight"))
+    val pair = Seq(
+      (100L, "spark writes shuffle files to local disk before the reduce stage begins now"),
+      (101L, "spark writes shuffle files to local disk before the reduce stage begins today"))
+    val loner = Seq((200L, "entirely unrelated text about knowledge graphs and entity canonicalization rules"))
+    val docs = (mega ++ pair ++ loner).toDF("doc_id", "text")
+    val scaled = NearDup.lshVerifiedPairsScaled(docs, 0.5, maxBucket = 8)
+    val pairs = scaled.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mega-cluster's 66 pairs are pruned; the honest near-dup pair survives
+    assert(pairs == Set((100L, 101L)), s"got $pairs")
+    val dropped = scaled.droppedBuckets.collect()
+      .map(r => (r.getLong(2))) // bucket_size
+    assert(dropped.nonEmpty && dropped.forall(_ == 12L), s"dropped sizes ${dropped.toSeq}")
+    val (nb, mx) = scaled.logDrops()
+    assert(nb == dropped.length.toLong && mx == 12L)
+    // unlimited form on the same corpus DOES emit the quadratic mass —
+    // the guardrail is the only difference
+    val unlimited = NearDup.lshVerifiedPairs(docs, 0.5).collect().length
+    assert(unlimited == 66 + 1, s"unlimited emitted $unlimited")
+    // no overflow → empty accounting, zero summary
+    val clean = NearDup.lshVerifiedPairsScaled(pair.toDF("doc_id", "text"), 0.5)
+    assert(clean.logDrops() == ((0L, 0L)) && clean.droppedBuckets.isEmpty)
+  }
+
   test("simhash-banded near-dup: pigeonhole recall <=3, exact hamming, no false positives") {
     import spark.implicits._
     val docs = Seq(
