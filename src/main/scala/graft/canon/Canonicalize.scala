@@ -8,24 +8,34 @@ import org.apache.spark.sql.functions._
   * identity, enhanced_hypergraph_builder_agent_v2.py:1300-1303 /
   * graph_extraction_agent.py:510-519).
   *
-  * Implementation: iterative DataFrame hash-min label propagation — a driver
-  * loop of join+groupBy/min steps with `localCheckpoint()` per iteration to
-  * truncate lineage. No GraphX: plain Catalyst plans keep AQE (incl. skew-join
-  * splitting) in charge of the physical layout, which matters because hub
-  * entities ("Intel" in a third of pages) make the edge list heavily skewed.
+  * Implementation: alternating large-star / small-star rounds (Kiveris et
+  * al., "Connected Components in MapReduce and Beyond") as a driver loop of
+  * plain DataFrame join+groupBy/min steps with `localCheckpoint()` per round
+  * to truncate lineage. Converges in O(log n) rounds regardless of graph
+  * DIAMETER — the hash-min label propagation it replaces needed O(diameter)
+  * rounds, so a 1000-hop alias chain (entity A aka B aka C …) blew past any
+  * reasonable maxIter and silently returned unconverged labels; star
+  * contraction handles chains and hubs alike. No GraphX: plain Catalyst
+  * plans keep AQE (incl. skew-join splitting) in charge of the physical
+  * layout, which matters because hub entities ("Intel" in a third of pages)
+  * make the edge list heavily skewed.
   *
-  * Skew handling (SURVEY §4.1): the per-key min-aggregation is two-phase
-  * salted — an explicit salt column gives S-way parallel partial mins before
-  * the final per-key min, bounding any single reducer even when one component
-  * key covers a large fraction of all edges. (Spark's hash aggregate already
-  * performs map-side partial aggregation; the explicit salt additionally
-  * protects the exchange when a single key dominates entire partitions.)
+  * Skew handling (SURVEY §4.1): the per-node neighborhood minimum is a hash
+  * aggregate with map-side partial min (reducer input bounded by
+  * #map-partitions rows per key, even for a hub node present in every
+  * partition), and neighbor emission is an equi-join the AQE skew rule can
+  * split. Neighbor LISTS are never collected.
   */
 object Canonicalize {
 
   /** Connected components over an undirected edge list.
     *
     * @param edges DataFrame with two string columns (src, dst)
+    * @param maxIter safety bound on large-star+small-star rounds; with
+    *   O(log n) convergence, 50 covers any graph that fits on storage.
+    *   Throws IllegalStateException instead of returning wrong labels if hit.
+    * @param salt retained for API compatibility; the star rounds' min
+    *   aggregates get their skew-immunity from map-side partial aggregation
     * @return DataFrame (id, component) — component = min id in the component
     */
   def connectedComponents(
@@ -37,19 +47,17 @@ object Canonicalize {
       salt: Int = 8): DataFrame = {
     import spark.implicits._
 
-    // Undirected: symmetrize once; self-loops dropped.
-    val e = edges
+    // Orient every edge (u, v) with u > v (string order — consistent with
+    // component = lexicographic min id); self-loops dropped.
+    val e0 = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
       .where($"a" =!= $"b")
-    val sym = e.union(e.select($"b".as("a"), $"a".as("b"))).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val vertices = sym.select($"a".as("id")).distinct()
+    val vertices = e0.select($"a".as("id")).union(e0.select($"b".as("id"))).distinct()
 
     // localCheckpoint persists its RDD in the block manager and Dataset has
     // no handle to unpersist it; track the ids each checkpoint adds so the
     // superseded snapshot can be freed — otherwise the loop retains
-    // O(iterations) cached label tables (real memory at 10⁹ entities).
+    // O(iterations) cached edge tables (real memory at 10⁹ entities).
     val sc = spark.sparkContext
     def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
@@ -59,37 +67,63 @@ object Canonicalize {
     def free(ids: Set[Int]): Unit =
       ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
 
-    var (labels, labelRddIds) = checkpointTracked(vertices.withColumn("comp", $"id"))
+    var (cur, curIds) = checkpointTracked(
+      e0.select(greatest($"a", $"b").as("u"), least($"a", $"b").as("v")).distinct())
 
+    /** Cheap convergence fingerprint: (edge count, XOR of per-edge xxhash64)
+      * — one aggregate, no join; XOR is commutative and overflow-free (ANSI-
+      * safe), and the edge set is distinct so no pair cancels its duplicate.
+      * The round map is deterministic, so an identical fingerprint means an
+      * identical edge set from here on (collision odds ~2⁻⁶⁴ per round).
+      */
+    def fingerprint(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prevFp = fingerprint(cur)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // candidate labels: own label ∪ each neighbor's label
-      val neighborLabels = sym
-        .join(labels.withColumnRenamed("id", "a"), Seq("a"))
-        .select($"b".as("id"), $"comp")
-      val candidates = labels.select($"id", $"comp").union(neighborLabels)
-
-      // two-phase salted min: (id, salt) partial min → id min
-      val partial = candidates
-        .withColumn("s", pmod(xxhash64($"comp"), lit(salt)))
-        .groupBy($"id", $"s").agg(min($"comp").as("comp"))
-      val (newLabels, newIds) = checkpointTracked(partial.groupBy($"id").agg(min($"comp").as("comp")))
-
-      val changed = newLabels.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .where(col("n.comp") =!= col("o.comp"))
-        .limit(1).count()
-      converged = changed == 0
-      // the convergence check above was the last reader of the previous
-      // snapshot — free it; at most 2 label snapshots are ever live
-      free(labelRddIds)
-      labels = newLabels
-      labelRddIds = newIds
+      // ---- large-star: every node u links its LARGER neighbors to the min
+      // of its closed neighborhood. min is a map-side-partial hash aggregate
+      // (no neighbor lists); each undirected edge contributes exactly one
+      // emitted edge, so the set never grows.
+      val sym = cur.union(cur.select($"v".as("u"), $"u".as("v")))
+      val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
+        .select($"u", least($"mn", $"u").as("m"))
+      val ls = sym.join(mins, Seq("u"))
+        .where($"v" > $"u")
+        .select($"v".as("u"), $"m".as("v"))   // v > u ≥ m → stays (larger, smaller)
+        .distinct()
+      // ---- small-star: every node u links its smaller neighbors (and
+      // itself) to its min smaller neighbor; on (larger, smaller)-oriented
+      // edges all neighbors in the group are smaller, so no `least` needed.
+      val mins2 = ls.groupBy($"u").agg(min($"v").as("m"))
+      val ss = ls.join(mins2, Seq("u"))
+        .where($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(mins2.select($"u", $"m".as("v")))
+        .distinct()
+      val (next, nextIds) = checkpointTracked(ss)
+      val fp = fingerprint(next)
+      converged = fp == prevFp
+      prevFp = fp
+      free(curIds)
+      cur = next
+      curIds = nextIds
       iter += 1
     }
-    sym.unpersist()
-    labels.withColumnRenamed("id", "id").withColumnRenamed("comp", "component")
+    if (!converged && iter >= maxIter)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter star rounds — raise maxIter")
+    // converged state is a forest of stars: every non-root appears as the
+    // larger endpoint pointing at its component's min id (groupBy-min is an
+    // identity pass there — kept as a guard so a residual multi-edge could
+    // never duplicate label rows)
+    vertices
+      .join(cur.groupBy($"u".as("id")).agg(min($"v").as("component")), Seq("id"), "left")
+      .select($"id", coalesce($"component", $"id").as("component"))
   }
 
   /** Canonicalize node keys: same-content merge (exact, the reference's

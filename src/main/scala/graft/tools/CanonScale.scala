@@ -3,14 +3,14 @@ package graft.tools
 import graft.canon.Canonicalize
 import org.apache.spark.sql.SparkSession
 
-/** Canonicalization CC at scale: a deterministic synthetic edge list with a
-  * heavy hub star (~30% of all edges on one node), random mass, and
-  * bounded-diameter chains (hash-min label propagation converges in
-  * O(diameter) rounds — entity-alias graphs are shallow, so chains are
-  * capped at 16 hops). Reports wall time, component stats, and the live
-  * cached-RDD count (the round-3 snapshot-freeing fix holds it at <=2
-  * label snapshots regardless of iteration count).
-  * Usage: runMain graft.tools.CanonScale [nEdges]
+/** Canonicalization CC at scale: (1) a deterministic synthetic edge list
+  * with a heavy hub star (~30% of all edges on one node), random mass, and
+  * 16-hop chains; (2) a deep single PATH of `depth` hops — the adversarial
+  * case for label propagation (O(diameter) rounds) that the large-star/
+  * small-star rounds close in O(log depth). Reports wall time, component
+  * stats, and the live cached-RDD count (the snapshot-freeing discipline
+  * holds it at <=2 edge snapshots regardless of round count).
+  * Usage: runMain graft.tools.CanonScale [nEdges] [chainDepth]
   */
 object CanonScale {
   def main(args: Array[String]): Unit = {
@@ -40,6 +40,17 @@ object CanonScale {
     val secs = (System.nanoTime() - t0) / 1e9
     val live = spark.sparkContext.getPersistentRDDs.keySet.toSet -- before
     println(f"cc: $nNodes%d nodes, $nComp%d components in $secs%.1f s; live cached RDDs added: ${live.size}")
+
+    // deep-chain probe: one path of `depth` hops, worst case for O(diameter)
+    // algorithms; star rounds converge in ~log2(depth)
+    val depth = args.lift(1).map(_.toLong).getOrElse(100000L)
+    val chain = spark.range(depth).map(i => (f"p$i%09d", f"p${i + 1}%09d"))
+      .toDF("src", "dst").localCheckpoint()
+    val t1 = System.nanoTime()
+    val cc2 = Canonicalize.connectedComponents(spark, chain)
+    val ok = cc2.where(org.apache.spark.sql.functions.col("component") =!= "p000000000").count()
+    val secs2 = (System.nanoTime() - t1) / 1e9
+    println(f"deep chain: $depth%d hops in $secs2%.1f s; mislabeled=$ok (must be 0)")
     spark.stop()
   }
 }

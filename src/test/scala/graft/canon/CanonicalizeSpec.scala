@@ -69,10 +69,21 @@ class CanonicalizeSpec extends SparkSpec {
     }
   }
 
-  test("CC loop frees superseded label checkpoints (<=2 live snapshots)") {
+  test("CC converges on a 1000-hop chain (O(log n) star rounds, not O(diameter))") {
     import spark.implicits._
-    // a 30-node chain forces ~30 hash-min iterations (min propagates one hop
-    // per round) — before the fix this left ~30 cached label RDDs behind
+    // hash-min label propagation needed one round per hop — 1000 hops blew
+    // past maxIter=50 and silently returned unconverged labels; star
+    // contraction closes this in ~log rounds
+    val chain = (0 until 1000).map(i => (f"n$i%04d", f"n${i + 1}%04d"))
+    val out = Canonicalize.connectedComponents(spark, chain.toDF("src", "dst"))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+    assert(out.length == 1001)
+    assert(out.forall(_._2 == "n0000"), s"unconverged labels: ${out.filter(_._2 != "n0000").take(5).toSeq}")
+  }
+
+  test("CC loop frees superseded edge checkpoints (<=2 live snapshots)") {
+    import spark.implicits._
+    // before the round-3 fix the loop left one cached RDD per round behind
     val chain = (0 until 30).map(i => (f"c$i%02d", f"c${i + 1}%02d"))
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     val out = Canonicalize.connectedComponents(spark, chain.toDF("src", "dst"))
