@@ -403,7 +403,7 @@ object SparkEntry {
            CASE WHEN lang = 'de' THEN 'financial'
                 WHEN lang = 'en' THEN 'interview' ELSE 'generic' END AS route,
            (lang = 'en' AND doc_id % 2 = 0) AS ifile,
-           len(regexp_extract_all(body, '[A-Z][a-z]+( [A-Z][a-z]+)*')) > 0 AS has_person
+           len(regexp_extract_all(body, '\b[A-Z][a-z]+( [A-Z][a-z]+)*\b')) > 0 AS has_person
          FROM tt)"""
 
   private def kgTriplesOracleSql: String =
@@ -1031,7 +1031,7 @@ object SparkEntry {
              CASE WHEN i <= 2 OR (i - 1) % 7 = 0 THEN upper(substr(x, 1, 1)) || substr(x, 2) ELSE x END), ' ') AS body
            FROM tk),
          caps AS (SELECT doc_id,
-           list_slice(regexp_extract_all(body, '[A-Z][a-z]+( [A-Z][a-z]+)*'), 1, 10) AS m FROM tt),
+           list_slice(regexp_extract_all(body, '\b[A-Z][a-z]+( [A-Z][a-z]+)*\b'), 1, 10) AS m FROM tt),
          m0 AS (SELECT doc_id, unnest(m) AS surface, generate_subscripts(m, 1) AS pos FROM caps),
          d AS (SELECT doc_id, surface, min(pos) AS first_pos FROM m0 GROUP BY 1, 2)
          SELECT doc_id,
@@ -1055,7 +1055,7 @@ object SparkEntry {
            len(list_distinct(l)) AS nd
            FROM tk),
          caps AS (SELECT doc_id,
-           list_slice(regexp_extract_all(body, '[A-Z][a-z]+( [A-Z][a-z]+)*'), 1, 10) AS m FROM tt),
+           list_slice(regexp_extract_all(body, '\b[A-Z][a-z]+( [A-Z][a-z]+)*\b'), 1, 10) AS m FROM tt),
          m0 AS (SELECT doc_id, unnest(m) AS surface, generate_subscripts(m, 1) AS pos FROM caps),
          d AS (SELECT doc_id, surface, min(pos) AS first_pos FROM m0 GROUP BY 1, 2),
          men AS (SELECT doc_id,

@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StringType, StructType}
 
 /** F12 sensitive-data redaction + F13 key sanitization
   * (graph_extraction_agent.py:245-285, 705-712). The reference sanitizes at
@@ -36,9 +36,11 @@ object Redact {
         .matcher(acc).replaceAll("[REDACTED]"))
 
   /** Redact string content anywhere inside a column's type: plain strings,
-    * array<string> elements (e.g. edges.evidence sentences), and struct
-    * fields, recursively. Fields whose NAME contains a sensitive key are
-    * fully masked at any depth. Non-string leaves pass through.
+    * array<string> elements (e.g. edges.evidence sentences), struct fields,
+    * and map keys/values, recursively. Fields whose NAME contains a
+    * sensitive key are fully masked at any depth; map entries whose KEY
+    * contains a sensitive key get their value masked (sanitize_dict over a
+    * dynamic dict). Non-string leaves pass through.
     */
   def redactColumn(c: Column, dt: DataType, name: String = ""): Column = {
     val lower = name.toLowerCase
@@ -53,6 +55,22 @@ object Redact {
         val rebuilt = struct(st.fields.toSeq.map(f =>
           redactColumn(c.getField(f.name), f.dataType, f.name).as(f.name)): _*)
         when(c.isNull, lit(null).cast(st)).otherwise(rebuilt)
+      case MapType(kt, vt, _) =>
+        // dynamic dict: a string KEY naming a sensitive field masks its
+        // value (sanitize_dict); other values recurse. Keys themselves are
+        // left as-is — they are identifiers, and rewriting them could
+        // collide two entries into a duplicate-key runtime error.
+        (kt, vt) match {
+          case (StringType, StringType) =>
+            transform_values(c, (k, v) =>
+              when(sensitiveKeys.map(s => org.apache.spark.sql.functions.lower(k).contains(s)).reduce(_ || _),
+                lit("[REDACTED]")).otherwise(redact(v)))
+          case (StringType, _) =>
+            transform_values(c, (k, v) =>
+              when(sensitiveKeys.map(s => org.apache.spark.sql.functions.lower(k).contains(s)).reduce(_ || _),
+                lit(null).cast(vt)).otherwise(redactColumn(v, vt)))
+          case _ => transform_values(c, (_, v) => redactColumn(v, vt))
+        }
       case _ => c
     }
   }

@@ -246,9 +246,17 @@ object Similarity {
     if (dimension <= 0)
       return mat.limit(0).select(col("nid").as("qid"), col("nid"),
         lit(0.0).as("cos_sim"), lit(1).as("rank"))
+    // dim contract enforced IN the plan (construction stays lazy): a vector
+    // whose length disagrees with the hyperplane length would silently hash
+    // wrong-length projections into wrong buckets — fail the job instead
+    val checked = mat.withColumn("nemb",
+      when(size(col("nemb")) === dimension, col("nemb"))
+        .otherwise(raise_error(concat(
+          lit(s"lshTopK: embedding dim != $dimension, got "),
+          size(col("nemb")).cast("string")))))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col("nemb"), dimension, planes, t).as("b")).as(s"bk$t"))
-    val withBuckets = mat.select(
+    val withBuckets = checked.select(
       (Seq(col("nid"), col("nemb"), col("nnorm")) :+
         explode(array(bucketCols: _*)).as("bucket")): _*)
     val q2 = withBuckets.where(col("nid").isin(queryIds: _*))

@@ -83,6 +83,35 @@ object StreamingPipeline {
     * the downstream exact-dedup batch pass (q12) is the backstop. Every
     * sighting renews the lease (sliding horizon).
     */
+  /** Streaming near-dup (the q36 simhash family's streaming analog): each
+    * doc explodes into its 4×16-bit simhash band keys ("b:hhhh"); the
+    * stateful dedup then emits each band key only on FIRST sighting. A doc
+    * whose 4 keys ALL emit is novel content; a doc with any suppressed key
+    * is a near-dup candidate of something already streamed (pigeonhole:
+    * any doc within hamming <= 3 of an earlier one shares >= 1 band and is
+    * flagged — same recall floor as batch q36, which remains the exact
+    * backstop with hamming verification). Narrow flatMap — the only
+    * shuffle/state is the band-key dedup, keyed on uniform 16-bit values.
+    */
+  def simhashBandKeys(docs: Dataset[(Long, String)]): Dataset[(String, Long)] = {
+    import docs.sparkSession.implicits._
+    docs.flatMap { case (id, text) =>
+      val sim = graft.ops.NearDup.simhashMd5Long(text)
+      (0 until 4).map(b => (f"$b:${(sim >>> (16 * b)) & 0xffffL}%04x", id))
+    }
+  }
+
+  /** First-seen band-key stream: horizonMs > 0 bounds state with the
+    * ProcessingTimeTimeout lease (production shape); 0 keeps exact NoTimeout
+    * state (stream ≡ batch, testable).
+    */
+  def nearDupBandStream(docs: Dataset[(Long, String)],
+                        horizonMs: Long = 0L): Dataset[(String, Long)] = {
+    val keys = simhashBandKeys(docs)
+    if (horizonMs > 0L) firstSeenDedupWithHorizon(keys, horizonMs)
+    else firstSeenDedup(keys)
+  }
+
   def firstSeenDedupWithHorizon(docs: Dataset[(String, Long)],
                                 horizonMs: Long): Dataset[(String, Long)] = {
     import docs.sparkSession.implicits._

@@ -80,6 +80,27 @@ class TableIOSpec extends SparkSpec {
     assert(Redact.redactFrame(g).collect()(0).isNullAt(1))
   }
 
+  test("redaction recurses into map values; sensitive map KEYS mask their values") {
+    import spark.implicits._
+    val f = Seq((1,
+      Map("note" -> "mail a@b.com here", "api_token" -> "s3cr3t", "clean" -> "ok")))
+      .toDF("id", "attrs")
+    val m = Redact.redactFrame(f).collect()(0).getMap[String, String](1)
+    assert(m("note") == "mail [REDACTED] here")   // value pattern-redacted
+    assert(m("api_token") == "[REDACTED]")        // sensitive KEY → value masked
+    assert(m("clean") == "ok")
+    // map<string, struct>: sensitive key nulls the struct, others recurse
+    val g = Seq((1, Map(
+      "profile" -> ("reach me at x@y.org", 3),
+      "auth_blob" -> ("t0k3n", 9))))
+      .toDF("id", "attrs")
+      .selectExpr("id", "CAST(attrs AS map<string,struct<s:string,n:int>>) AS attrs")
+    val gm = Redact.redactFrame(g).collect()(0).getMap[String, org.apache.spark.sql.Row](1)
+    assert(gm("profile").getString(0) == "reach me at [REDACTED]")
+    assert(gm("profile").getInt(1) == 3)
+    assert(gm("auth_blob") == null)
+  }
+
   test("run-commit protocol: unsafe runId rejected, double commit refused, reuse guarded") {
     val dir = java.nio.file.Files.createTempDirectory("graft-commit").toString
     val tio = new ParquetTableIO(dir)

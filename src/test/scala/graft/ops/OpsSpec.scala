@@ -233,6 +233,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("lshTopK rejects a wrong declared dim at execution (no silent wrong-bucket hashing)") {
+    import spark.implicits._
+    val emb = (0L until 10L).map(i => (i, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Similarity.lshTopK(emb, Seq(0L), k = 3, dim = 64).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("dim")), s"unexpected failure: $ex")
+    // correct dim passes
+    assert(Similarity.lshTopK(emb, Seq(0L), k = 3, dim = 16).count() >= 0)
+  }
+
   test("sampled IVF training ≡ full training on the sampled subset, bit for bit") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}

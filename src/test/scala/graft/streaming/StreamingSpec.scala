@@ -49,7 +49,9 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("A", 1L), ("B", 2L), ("C", 5L)))
   }
 
-  test("horizon-bounded dedup: suppresses within the lease, re-emits after expiry") {
+  // tagged slow: depends on real wall-clock (20 s lease + 25 s sleep) —
+  // see the NOTE below on why a virtual clock can't drive ProcessingTimeTimeout
+  test("horizon-bounded dedup: suppresses within the lease, re-emits after expiry", graft.SlowTest) {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sc = spark.sqlContext
@@ -86,6 +88,48 @@ class StreamingSpec extends SparkSpec {
     input.addData(("A", 7L))
     waitFor(sink() == Set(("A", 1L), ("B", 2L), ("C", 3L), ("D", 4L), ("A", 7L)))
     q.stop()
+  }
+
+  test("streaming simhash near-dup: band keys match batch, cross-batch near-dups flagged") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    // docs 1 and 3 are one token apart with simhash hamming 1 (checked
+    // below) — pigeonhole over 4×16-bit bands guarantees a shared band
+    val nearA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau upsilon"
+    val nearB = "alpha beta gamma delt epsilon zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau upsilon"
+    val b1 = Seq(
+      (1L, nearA),
+      (2L, "completely different content about spark engines and shuffle files"))
+    val b2 = Seq(
+      (3L, nearB), // near-dup of 1, arriving a micro-batch later
+      (4L, "one more unrelated document mentioning tables and columns"))
+    assert(java.lang.Long.bitCount(
+      graft.ops.NearDup.simhashMd5Long(nearA) ^ graft.ops.NearDup.simhashMd5Long(nearB)) <= 3)
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.nearDupBandStream(input.toDS())
+      .writeStream.format("memory").queryName("neardup_s").outputMode("append").start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val emitted = spark.sql("select * from neardup_s").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    q.stop()
+    // stream ≡ batch: emitted keys = batch first-seen (min doc_id per band
+    // key — ids here increase with batch order, so first-seen = min)
+    val batch = StreamingPipeline.simhashBandKeys((b1 ++ b2).toDS())
+      .groupByKey(_._1).mapGroups((k, it) => (k, it.map(_._2).min)).collect().toSet
+    assert(emitted == batch && emitted.nonEmpty)
+    // cross-batch near-dup: doc 3 shares >=1 band with doc 1 → at least one
+    // of its keys was suppressed (attributed to doc 1), so doc 3 is flagged
+    val emittedPerDoc = emitted.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(emittedPerDoc.getOrElse(3L, 0) < 4, s"doc 3 should have a suppressed band: $emittedPerDoc")
+    assert(emittedPerDoc(1L) == 4 && emittedPerDoc(2L) == 4 && emittedPerDoc(4L) == 4)
+    // batch q36 agrees: (1,3) is a verified near-dup pair
+    val pairs = graft.ops.NearDup.simhashNearDupPairs((b1 ++ b2).toDF("doc_id", "text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L)))
   }
 
   test("watermarked windowed event counts run in a micro-batch") {
