@@ -989,13 +989,17 @@ object SparkEntry {
 
     // The oracle knows only the GENERATION parameters (id → kind/dims/rate/
     // pixel formulas); the engine side recovers them by parsing the real
-    // container bytes — for PNG all the way through zlib inflate + scanline
-    // unfilter to per-pixel values — so this checks the byte-level decoders,
-    // not a tautology. png bytes: 57 header/chunk overhead + zlib stored
-    // stream (raw + 6 + 5·ceil(raw/65535)), raw = h·(3w+1). pixel_sum:
-    // every channel of (x,y) is (i+x+y)%256; summing over the antidiagonals
-    // s = x+y (trapezoid count least(s, w-1, h-1, w+h-2-s)+1) avoids a w×h
-    // blowup in the oracle.
+    // container bytes — PNG through zlib inflate + scanline unfilter, JPEG
+    // through a real Huffman entropy decode — so this checks the byte-level
+    // decoders, not a tautology. png bytes: 57 header/chunk overhead + zlib
+    // stored stream (raw + 6 + 5·ceil(raw/65535)), raw = h·(3w+1); png
+    // pixel_sum: every channel of (x,y) is (i+x+y)%256, summed over
+    // antidiagonals s = x+y (trapezoid count least(s, w-1, h-1, w+h-2-s)+1)
+    // to avoid a w×h blowup. jpeg (baseline DC-only grayscale, constant
+    // gray g = 128+8·(i%16)): bytes = 169 header + ceil((5·nblocks + t)/8)
+    // entropy where nblocks = ceil(w/8)·ceil(h/8) and t = bitlen(8·(g−128))
+    // = CASE i%16 … (DC category of the first block; all later blocks are
+    // category-0+EOB = 5 bits each); pixel_sum = w·h·g.
     "q27_multimodal_features" ->
       """WITH f AS (SELECT i,
            CASE WHEN i%3=0 THEN 'png' WHEN i%3=1 THEN 'jpg' ELSE 'wav' END AS kind,
@@ -1010,11 +1014,21 @@ object SparkEntry {
                   GROUP BY 1)
          SELECT kind, count(*) AS n,
            CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
-           CAST(sum(CASE WHEN corrupt THEN 3 WHEN kind='png' THEN pb.nb WHEN kind='jpg' THEN 103 ELSE 108 END) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN corrupt THEN 3
+                WHEN kind='png' THEN pb.nb
+                WHEN kind='jpg' THEN 169 + CAST(ceil((
+                  5*(CAST(ceil(w/8.0) AS BIGINT)*CAST(ceil(h/8.0) AS BIGINT))
+                  + CASE WHEN f.i%16=0 THEN 0
+                         ELSE 6 + CAST(floor(log2(f.i%16)) AS BIGINT) + 1 END
+                )/8.0) AS BIGINT)
+                ELSE 108 END) AS BIGINT) AS total_bytes,
            CAST(max(CASE WHEN corrupt THEN 0 WHEN kind IN ('png','jpg') THEN w ELSE 0 END) AS BIGINT) AS max_width,
            CAST(max(CASE WHEN corrupt THEN 0 WHEN kind IN ('png','jpg') THEN h ELSE 0 END) AS BIGINT) AS max_height,
            CAST(max(CASE WHEN corrupt THEN 0 WHEN kind='wav' THEN sr ELSE 0 END) AS BIGINT) AS max_sample_rate,
-           CAST(sum(CASE WHEN corrupt OR kind <> 'png' THEN 0 ELSE ps.px END) AS BIGINT) AS total_pixel_sum
+           CAST(sum(CASE WHEN corrupt THEN 0
+                WHEN kind='png' THEN ps.px
+                WHEN kind='jpg' THEN CAST(w AS BIGINT)*h*(128 + 8*(f.i%16))
+                ELSE 0 END) AS BIGINT) AS total_pixel_sum
          FROM f LEFT JOIN pbytes pb ON f.i = pb.i LEFT JOIN psum ps ON f.i = ps.i
          GROUP BY 1""",
 

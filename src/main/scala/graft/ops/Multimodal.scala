@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * The decode step is REAL byte parsing (no external libraries needed):
   * PNG IHDR + full pixel decode (chunk walk → java.util.zip.Inflater →
-  * scanline unfilter, all 5 spec filter types), JPEG SOF marker scan, and
-  * WAV RIFF/fmt headers. The synthetic generator emits genuine containers
-  * (valid PNGs with real CRCs and zlib IDAT; JFIF/SOF JPEG headers; RIFF
-  * WAVs), so the parsers are exercised against real byte layouts; corrupt
-  * payloads cover the error path. JPEG entropy decode (libjpeg) would slot
-  * into the same per-partition seam — the env ships no codec libs.
+  * scanline unfilter, all 5 spec filter types), baseline JPEG with a real
+  * Huffman entropy decode (DQT/DHT/SOF0/SOS parse, canonical code rebuild,
+  * DC category + magnitude + AC run/size loop — the DC-only grayscale
+  * subset reconstructs pixels; general AC would add only the IDCT math),
+  * and WAV RIFF/fmt headers. The synthetic generator emits genuine
+  * containers (valid PNGs with real CRCs and zlib IDAT; entropy-coded
+  * baseline JPEGs; RIFF WAVs), so the parsers are exercised against real
+  * byte layouts; corrupt payloads cover the error path.
   */
 object Multimodal {
 
@@ -30,7 +32,8 @@ object Multimodal {
   // Deterministic synthetic payloads with REAL container layouts. Byte
   // lengths are closed-form per kind so totals are oracle-predictable:
   //   png 57 + zlen(w,h) bytes (real zlib IDAT, see pngBytes),
-  //   jpeg 103, wav 108 (corrupt rows are 3).
+  //   jpeg 169 + ceil((5·nblocks + t)/8) (entropy-coded, see jpegBytes),
+  //   wav 108 (corrupt rows are 3).
 
   private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
   private def be32(v: Int): Array[Byte] =
@@ -125,15 +128,94 @@ object Multimodal {
       pngChunk("IEND", Array.empty[Byte])
   }
 
-  /** JPEG: SOI + APP0/JFIF segment + SOF0 (baseline) + body. The APP0 before
-    * SOF forces the parser to actually walk the segment chain.
+  /** Per-image JPEG gray value: constant across the image, 128 + 8·(id%16)
+    * — keeps the DC coefficient non-negative and the entropy-stream length
+    * closed-form (see jpegBytes) so the oracle predicts byte totals AND
+    * pixel sums without decoding.
+    */
+  def jpegGray(id: Long): Int = 128 + ((id % 16).toInt * 8)
+
+  /** Canonical Huffman assignment from a DHT-style (bits, huffval) pair:
+    * symbol → (codeLen, code). Shared by the encoder and the decoder, which
+    * rebuilds it from the parsed DHT segment.
+    */
+  private[ops] def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Int)]
+    var code = 0; var k = 0
+    var len = 1
+    while (len <= 16) {
+      var i = 0
+      while (i < bits(len - 1)) { out(vals(k)) = (len, code); code += 1; k += 1; i += 1 }
+      code <<= 1
+      len += 1
+    }
+    out.toMap
+  }
+
+  // Minimal custom tables (NOT the bulky Annex-K defaults — any canonical
+  // table is legal; the decoder builds codes generically from the DHT):
+  //   DC: all 12 categories at code length 4 (0000..1011)
+  //   AC: the single EOB symbol 0x00 at code length 1 ('0')
+  private val jpegDcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val jpegDcVals = (0 to 11).toArray
+  private val jpegAcBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val jpegAcVals = Array(0)
+
+  /** A REAL baseline JPEG (grayscale, DC-only): SOI + APP0/JFIF + DQT (all
+    * 1s) + SOF0 + two DHT segments + SOS + Huffman-entropy-coded MCU data +
+    * EOI. Every 8×8 block holds the constant `jpegGray(id)`, so AC
+    * coefficients are all zero and the stream is: first block = DC category
+    * code (4 bits) + category magnitude bits + EOB (1 bit); every later
+    * block = category-0 code + EOB (5 zero bits). Total bytes are
+    * closed-form: 169 header + ceil((5·nblocks + t)/8) entropy where
+    * t = bitlen(8·(gray−128)) — the q27 oracle reconstructs this exactly.
+    * The APP0 before SOF still forces dimension parsers to walk the chain.
     */
   def jpegBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
       ("JFIF".getBytes("US-ASCII") :+ 0.toByte) ++ Array[Byte](1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)
-    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
-      be16(h) ++ be16(w) ++ Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
-    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ sof0 ++ body(id, 64)
+    val dqt = Array[Byte](0xff.toByte, 0xdb.toByte) ++ be16(67) ++
+      Array[Byte](0) ++ Array.fill[Byte](64)(1)
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++ Array[Byte](8) ++
+      be16(h) ++ be16(w) ++ Array[Byte](1, 1, 0x11, 0)
+    def dht(clazz: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xc4.toByte) ++ be16(2 + 1 + 16 + vals.length) ++
+        Array[Byte]((clazz << 4).toByte) ++ bits.map(_.toByte) ++ vals.map(_.toByte)
+    val sos = Array[Byte](0xff.toByte, 0xda.toByte) ++ be16(8) ++
+      Array[Byte](1, 1, 0x00, 0, 63, 0)
+
+    val dcCodes = canonicalCodes(jpegDcBits, jpegDcVals)
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0; var nbits = 0
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1 << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = (acc >>> (nbits - 8)) & 0xff
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing (never triggers for
+        // generated ids — the closed-form byte count relies on that, and the
+        // oracle fails loudly if a generator change ever breaks it)
+        nbits -= 8
+      }
+    }
+    val gray = jpegGray(id)
+    val dc = 8 * (gray - 128) // FDCT of a constant (level-shifted) block
+    val nbx = (w + 7) / 8; val nby = (h + 7) / 8
+    var prev = 0
+    var bi = 0
+    while (bi < nbx * nby) {
+      val diff = dc - prev; prev = dc
+      val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // category
+      val (cl, cc) = dcCodes(t)
+      put(cc, cl)
+      if (t > 0) put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      put(0, 1) // AC EOB ('0' in our 1-entry table)
+      bi += 1
+    }
+    if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ sof0 ++
+      dht(0, jpegDcBits, jpegDcVals) ++ dht(1, jpegAcBits, jpegAcVals) ++ sos ++
+      out.toByteArray ++ Array[Byte](0xff.toByte, 0xd9.toByte)
   }
 
   /** WAV: RIFF/WAVE + fmt chunk (PCM, channels, sample rate) + data chunk. */
@@ -260,6 +342,130 @@ object Multimodal {
     None
   }
 
+  /** Baseline JPEG pixel decode for the DC-only grayscale subset: parses
+    * DQT, DHT (canonical code rebuild — works for ANY table, incl. Annex K),
+    * SOF0 (requires one 8-bit component, 1×1 sampling, no restart markers),
+    * SOS, then a real Huffman entropy decode of every MCU — DC category +
+    * magnitude bits (with the spec's negative extension), AC run/size loop
+    * to EOB. Blocks with any nonzero AC coefficient are outside the
+    * supported subset → None (a full IDCT needs no new parsing, only the
+    * coefficient math; this decodes everything the generator emits).
+    * Returns the sum of reconstructed pixel values over the w×h crop.
+    */
+  def decodeJpegPixels(p: Array[Byte]): Option[Long] = {
+    try {
+      if (p == null || p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
+      var pos = 2
+      var q0: Array[Int] = null
+      var dcTab: Map[(Int, Int), Int] = null // (len, code) -> symbol
+      var acTab: Map[(Int, Int), Int] = null
+      var w = 0; var h = 0
+      var sosAt = -1
+      while (sosAt < 0 && pos + 4 <= p.length && (p(pos) & 0xff) == 0xff) {
+        val marker = p(pos + 1) & 0xff
+        val len = rdBe16(p, pos + 2)
+        if (len < 2 || pos + 2 + len > p.length) return None
+        marker match {
+          case 0xdb => // DQT (8-bit precision tables only)
+            var o = pos + 4
+            while (o < pos + 2 + len) {
+              if ((p(o) >> 4 & 0xf) != 0) return None
+              val tq = p(o) & 0xf
+              val tbl = Array.tabulate(64)(i => p(o + 1 + i) & 0xff)
+              if (tq == 0) q0 = tbl
+              o += 65
+            }
+          case 0xc4 => // DHT: rebuild canonical codes
+            var o = pos + 4
+            while (o < pos + 2 + len) {
+              val clazz = (p(o) >> 4) & 0xf
+              val bits = Array.tabulate(16)(i => p(o + 1 + i) & 0xff)
+              val nv = bits.sum
+              val vals = Array.tabulate(nv)(i => p(o + 17 + i) & 0xff)
+              val codes = canonicalCodes(bits, vals).map { case (sym, lc) => (lc, sym) }
+              if (clazz == 0) dcTab = codes else acTab = codes
+              o += 17 + nv
+            }
+          case 0xc0 => // SOF0 baseline
+            if ((p(pos + 4) & 0xff) != 8) return None
+            h = rdBe16(p, pos + 5); w = rdBe16(p, pos + 7)
+            if ((p(pos + 9) & 0xff) != 1) return None       // 1 component
+            if ((p(pos + 11) & 0xff) != 0x11) return None   // 1×1 sampling
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+            return None // non-baseline frame types unsupported
+          case 0xdd => return None // DRI/restart markers unsupported
+          case 0xda => sosAt = pos + 2 + len
+          case _ => ()
+        }
+        pos += 2 + len
+      }
+      if (sosAt < 0 || w <= 0 || h <= 0 || q0 == null || dcTab == null || acTab == null) return None
+
+      // entropy bit reader with FF00 unstuffing; any other FFxx = stream end
+      var bp = sosAt
+      var acc = 0; var nbits = 0
+      def readBit(): Int = {
+        if (nbits == 0) {
+          if (bp >= p.length) throw new IllegalStateException("eof")
+          var b = p(bp) & 0xff; bp += 1
+          if (b == 0xff) {
+            if (bp >= p.length) throw new IllegalStateException("eof")
+            val nxt = p(bp) & 0xff
+            if (nxt == 0x00) bp += 1
+            else throw new IllegalStateException("marker") // EOI mid-stream
+            b = 0xff
+          }
+          acc = b; nbits = 8
+        }
+        nbits -= 1
+        (acc >>> nbits) & 1
+      }
+      def decodeSym(tab: Map[(Int, Int), Int]): Int = {
+        var code = 0; var len = 0
+        while (len < 16) {
+          code = (code << 1) | readBit(); len += 1
+          tab.get((len, code)) match {
+            case Some(s) => return s
+            case None => ()
+          }
+        }
+        throw new IllegalStateException("bad huffman code")
+      }
+      def extend(v: Int, t: Int): Int = if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+      def readBits(t: Int): Int = { var v = 0; var i = 0; while (i < t) { v = (v << 1) | readBit(); i += 1 }; v }
+
+      val nbx = (w + 7) / 8; val nby = (h + 7) / 8
+      var dc = 0
+      var sum = 0L
+      var by = 0
+      while (by < nby) {
+        var bx = 0
+        while (bx < nbx) {
+          val t = decodeSym(dcTab)
+          dc += extend(readBits(t), t)
+          var k = 1
+          var eob = false
+          while (k <= 63 && !eob) {
+            val sym = decodeSym(acTab)
+            if (sym == 0) eob = true
+            else {
+              val run = (sym >> 4) & 0xf; val size = sym & 0xf
+              if (size == 0) { if (run == 15) k += 16 else return None }
+              else return None // nonzero AC: outside the DC-only subset
+            }
+          }
+          // IDCT of a DC-only block is flat: value = dequantized DC / 8 + 128
+          val v = math.max(0, math.min(255, Math.round(dc.toDouble * q0(0) / 8.0).toInt + 128))
+          val visW = math.min(8, w - bx * 8); val visH = math.min(8, h - by * 8)
+          sum += v.toLong * visW * visH
+          bx += 1
+        }
+        by += 1
+      }
+      Some(sum)
+    } catch { case _: Exception => None }
+  }
+
   /** WAV fmt: RIFF/WAVE tags then channels (LE16 @22) + rate (LE32 @24). */
   def decodeWav(p: Array[Byte]): Option[(Int, Int)] = {
     if (p == null || p.length < 28 || !tag(p, 0, "RIFF") || !tag(p, 8, "WAVE") || !tag(p, 12, "fmt ")) None
@@ -271,14 +477,16 @@ object Multimodal {
 
   /** Container sniffing + parse → (valid, width, height, sample_rate,
     * channels, pixel_sum). pixel_sum is the inflate+unfilter statistic for
-    * PNGs (0 when the pixel stream is absent/corrupt, and for formats whose
-    * entropy-coded payload needs codec libs the environment doesn't ship —
-    * JPEG — documented gap).
+    * PNGs and the Huffman-entropy-decode statistic for baseline DC-only
+    * JPEGs (0 when the pixel stream is absent/corrupt or outside the
+    * decoded subset — e.g. JPEGs with nonzero AC coefficients, which need
+    * the full IDCT path).
     */
   def decode(payload: Array[Byte]): (Boolean, Int, Int, Int, Int, Long) = {
     decodePng(payload).map { case (w, h) =>
       (true, w, h, 0, 0, decodePngPixels(payload).getOrElse(0L)) }
-      .orElse(decodeJpeg(payload).map { case (w, h) => (true, w, h, 0, 0, 0L) })
+      .orElse(decodeJpeg(payload).map { case (w, h) =>
+        (true, w, h, 0, 0, decodeJpegPixels(payload).getOrElse(0L)) })
       .orElse(decodeWav(payload).map { case (sr, ch) => (true, 0, 0, sr, ch, 0L) })
       .getOrElse((false, 0, 0, 0, 0, 0L))
   }

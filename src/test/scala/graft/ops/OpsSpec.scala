@@ -309,6 +309,33 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeJpeg(Multimodal.jpegBytes(1L, 10, 10).take(10)).isEmpty)
   }
 
+  test("multimodal: JPEG Huffman entropy decode recovers exact pixel sums") {
+    // round-trip: the generator emits a REAL baseline entropy stream; the
+    // decoder Huffman-decodes every MCU (DC category + magnitude + EOB) and
+    // reconstructs the flat blocks — sums must match w·h·gray exactly,
+    // including non-multiple-of-8 dims (partial-block crop math)
+    for ((id, w, h) <- Seq((0L, 8, 8), (7L, 575, 303), (15L, 64, 48), (16L, 13, 9), (5L, 100, 100))) {
+      val bytes = Multimodal.jpegBytes(id, w, h)
+      assert(Multimodal.decodeJpeg(bytes) == Some((w, h)))
+      assert(Multimodal.decodeJpegPixels(bytes) ==
+        Some(w.toLong * h * Multimodal.jpegGray(id)),
+        s"pixel sum mismatch for id=$id ${w}x$h")
+    }
+    // closed-form byte length (the q27 oracle's formula): 169 header +
+    // ceil((5·nblocks + t)/8) entropy bytes
+    for ((id, w, h) <- Seq((0L, 8, 8), (7L, 575, 303), (15L, 64, 48))) {
+      val m = (id % 16).toInt
+      val t = if (m == 0) 0 else 7 + (31 - Integer.numberOfLeadingZeros(m))
+      val nb = ((w + 7) / 8).toLong * ((h + 7) / 8)
+      assert(Multimodal.jpegBytes(id, w, h).length == 169 + ((5 * nb + t + 7) / 8),
+        s"byte length formula broke for id=$id ${w}x$h")
+    }
+    // truncated entropy stream and garbage fail cleanly
+    val good = Multimodal.jpegBytes(3L, 32, 32)
+    assert(Multimodal.decodeJpegPixels(good.take(good.length - 20)).isEmpty)
+    assert(Multimodal.decodeJpegPixels(Multimodal.wavBytes(1L, 8000, 1)).isEmpty)
+  }
+
   test("multimodal: PNG pixel decode (inflate + unfilter) matches the generation formula") {
     // decode goes chunk walk → Inflater → unfilter; expected sum from formula
     for ((id, w, h) <- Seq((7L, 64, 48), (123L, 575, 303), (0L, 1, 1))) {
@@ -373,9 +400,15 @@ class OpsSpec extends SparkSpec {
       val raw = h * (3 * w + 1)
       57 + raw + 6 + 5 * ((raw + 65534) / 65535)
     }
+    def jpegBytesLen(id: Long, w: Long, h: Long): Long = {
+      val m = (id % 16).toInt
+      val t = if (m == 0) 0 else 7 + (31 - Integer.numberOfLeadingZeros(m))
+      val nb = ((w + 7) / 8) * ((h + 7) / 8)
+      169 + (5 * nb + t + 7) / 8
+    }
     assert(valid.forall(f => f.kind match {
       case "png" => f.n_bytes == pngBytesLen(f.width, f.height)
-      case "jpg" => f.n_bytes == 103L
+      case "jpg" => f.n_bytes == jpegBytesLen(f.media_id, f.width, f.height)
       case _ => f.n_bytes == 108L
     }))
     // real pixel decode: every valid png's pixel_sum matches the formula
@@ -384,7 +417,11 @@ class OpsSpec extends SparkSpec {
         yield 3L * Multimodal.pixelValue(f.media_id, x, y)).sum
       f.pixel_sum == expect
     })
-    assert(valid.filter(_.kind != "png").forall(_.pixel_sum == 0L))
+    // ...and every valid jpeg's (flat gray, entropy-decoded)
+    assert(valid.filter(_.kind == "jpg").forall { f =>
+      f.pixel_sum == f.width.toLong * f.height * Multimodal.jpegGray(f.media_id)
+    })
+    assert(valid.filter(_.kind == "wav").forall(_.pixel_sum == 0L))
     // determinism
     val again = Multimodal.extractFeatures(spark, media).collect()
     assert(again.map(_.checksum).toSeq == feats.map(_.checksum).toSeq)
