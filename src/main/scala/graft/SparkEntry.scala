@@ -283,6 +283,18 @@ object SparkEntry {
     "q34_neardup_lsh_verified" -> ((s, dir) =>
       NearDup.lshVerifiedPairs(t(s, dir, "documents"), 0.8)),
 
+    // The 100 TB scale entrypoint with the quadratic-bucket guardrail
+    // BINDING (maxBucket=2 drops this corpus's two size-3 buckets) — the
+    // oracle replays the count-filter, so the drop semantics themselves are
+    // driver-hash-checked, not just unit-tested.
+    "q42_neardup_guardrail" -> ((s, dir) =>
+      NearDup.lshVerifiedPairsScaled(t(s, dir, "documents"), 0.8, maxBucket = 2).pairs),
+
+    // ...and the no-silent-caps accounting: exactly the buckets q42 pruned.
+    "q43_neardup_dropped" -> ((s, dir) =>
+      NearDup.lshVerifiedPairsScaled(t(s, dir, "documents"), 0.8, maxBucket = 2)
+        .droppedBuckets),
+
     "q36_simhash_neardup" -> ((s, dir) =>
       NearDup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 4)),
 
@@ -876,6 +888,49 @@ object SparkEntry {
          SELECT d1, d2, round(inter / (s1.n + s2.n - inter), 6) AS jaccard
          FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
          WHERE round(inter / (s1.n + s2.n - inter), 6) > 0.8""",
+
+    // q34's pipeline with the guardrail count-filter replayed: buckets with
+    // more than maxBucket(=2) members are excluded from candidate
+    // generation, so the two size-3 buckets' pairs must be absent.
+    "q42_neardup_guardrail" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         seeds AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed),
+         mh AS (SELECT doc_id, seed, min(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+                   FROM mh GROUP BY 1, 2),
+         keep AS (SELECT band, band_sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 2),
+         kb AS (SELECT b.* FROM bands b JOIN keep k ON b.band = k.band AND b.band_sig = k.band_sig),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM kb a JOIN kb b ON a.band = b.band AND a.band_sig = b.band_sig
+                  WHERE a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.d1, c.d2, count(*) AS inter
+                   FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+                   GROUP BY 1, 2)
+         SELECT d1, d2, round(inter / (s1.n + s2.n - inter), 6) AS jaccard
+         FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE round(inter / (s1.n + s2.n - inter), 6) > 0.8""",
+
+    // The drop accounting q42 relies on: every (band, band_sig) bucket whose
+    // member count exceeds the cap, with its size.
+    "q43_neardup_dropped" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         seeds AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed),
+         mh AS (SELECT doc_id, seed, min(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+                   FROM mh GROUP BY 1, 2)
+         SELECT CAST(band AS BIGINT) AS band, band_sig, CAST(count(*) AS BIGINT) AS bucket_size
+         FROM bands GROUP BY 1, 2 HAVING count(*) > 2""",
 
     // Connected components as a recursive CTE: reach(id,lab) closes over the
     // symmetrized edge list; component = min reachable label. Labels are
