@@ -225,14 +225,20 @@ object NearDup {
     * algorithm, so the right fix for overflow is exact dedup (q12) first —
     * this entry makes that failure loud instead of letting a mega-cluster
     * take the job down. The unlimited `lshVerifiedPairs` stays as the
-    * oracle-exact form. Both frames share one checkpointed shingle scan.
+    * oracle-exact form. Both frames share one checkpointed shingle scan AND
+    * one checkpointed band table (pairs, droppedBuckets and logDrops() all
+    * read it), so construction launches the shingle/minhash jobs eagerly —
+    * the right trade for an entrypoint whose outputs are always actioned.
     */
   def lshVerifiedPairsScaled(docs: DataFrame, threshold: Double, k: Int = 8, rowsPerBand: Int = 4,
                              maxBucket: Int = 1024,
                              idCol: String = "doc_id", textCol: String = "text"): ScaledNearDup = {
     val ds = shingleRows(docs, idCol, textCol)
       .localCheckpoint()
+    // band rows are read three times (count-filter, bucket collection, drop
+    // accounting) — materialize them once; docs×(k/rowsPerBand) small rows
     val bands = lshBands(minhashFromShingleRows(ds, k), rowsPerBand)
+      .localCheckpoint()
     ScaledNearDup(
       pairs = verifyJaccard(ds, lshCandidates(bands, maxBucket), threshold),
       droppedBuckets = lshOverflowBuckets(bands, maxBucket))
