@@ -126,6 +126,7 @@ object SparkEntry {
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
         TextOps.distinctTokenCount(col("text")).as("n_distinct"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast("long").as("len_chars"),
         TextOps.fingerprint(col("text")).as("fingerprint"))
     }),
@@ -615,6 +616,7 @@ object SparkEntry {
       """SELECT doc_id,
          CAST(len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
          CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))) AS BIGINT) AS n_distinct,
+         CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe_tokens,
          CAST(length(text) AS BIGINT) AS len_chars,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
          FROM documents""",

@@ -19,6 +19,23 @@ object TextOps {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")
 
+  /** BPE-ish pre-tokenizer regex (GPT-2 style, minus the `\s+(?!\S)`
+    * lookahead RE2 lacks — pure whitespace is simply not counted):
+    * contractions, space-prefixed letter runs, digit runs, punctuation
+    * runs. Engine-portable (Java regex ≡ RE2 on this subset), so the
+    * DuckDB oracle replays counts exactly.
+    */
+  val bpeTokenRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** Approximate LLM-token count: matches of the BPE-ish pre-tokenizer —
+    * the usual cheap stand-in for a real BPE vocab when budgeting training
+    * tokens at corpus scale (a true tokenizer would slot into the same
+    * column with a mapPartitions seam). Codegen'd, no UDF.
+    */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeTokenRegex), lit(0))).cast("long")
+
   /** Normalized fingerprint — md5 of lowercase, whitespace-collapsed text
     * (F7-style content identity generalized to documents).
     */

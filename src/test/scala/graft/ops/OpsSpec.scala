@@ -28,6 +28,21 @@ class OpsSpec extends SparkSpec {
     assert(out(0)._4 == graft.text.PyText.md5Hex("hello world hello"))
   }
 
+  test("BPE-ish token count: contractions, space-prefixed runs, punct runs") {
+    val d = docs(
+      1L -> "I'll say we're fine, don't panic!",
+      2L -> "abc123 def  45.6",
+      3L -> "")
+    val out = d.select(col("doc_id"), TextOps.bpeTokenCount(col("text")).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // "I"+"'ll"+" say"+" we"+"'re"+" fine"+","+" don"+"'t"+" panic"+"!"
+    assert(out(1L) == 11, s"got ${out(1L)}")
+    // "abc"+"123"+" def"+" 45"+"."+"6"  (double space: second " def"-style
+    // prefix swallows one space, the extra one is uncounted whitespace)
+    assert(out(2L) == 6, s"got ${out(2L)}")
+    assert(out(3L) == 0)
+  }
+
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "z y x w v")
     val sig = NearDup.minhashSignatures(d, k = 4).collect()
