@@ -299,6 +299,15 @@ object SparkEntry {
     "q36_simhash_neardup" -> ((s, dir) =>
       NearDup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 4)),
 
+    // The 5th dedup family: feature-hashed doc embeddings (identical docs →
+    // identical vectors) → hyperplane-LSH candidates → exact cosine >= 0.95.
+    // The oracle reconstructs the hashed vectors, the bucket pruning, and
+    // the cosine arithmetic.
+    "q44_embedding_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+        Similarity.hashedEmbeddings(t(s, dir, "documents")), 0.95,
+        idCol = "doc_id", embCol = "emb", dim = 64)),
+
     "q27_multimodal_features" -> ((s, dir) => {
       import s.implicits._
       Multimodal.featureSummary(
@@ -917,6 +926,32 @@ object SparkEntry {
          SELECT d1, d2, round(inter / (s1.n + s2.n - inter), 6) AS jaccard
          FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
          WHERE round(inter / (s1.n + s2.n - inter), 6) > 0.8""",
+
+    // 5th dedup family replay: hashed-TF vectors (md5 2-hex-char bucket
+    // mod 64), q24-style hyperplane buckets over them, pair candidates per
+    // (table, bucket), exact cosine >= 0.95 rounded 6dp.
+    "q44_embedding_neardup" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')) AS tok FROM documents),
+         bkt AS (SELECT doc_id,
+                  ((strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*16 +
+                   (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)) % 64 AS bucket
+                 FROM toks),
+         cnts AS (SELECT doc_id, bucket, count(*) AS cnt FROM bkt GROUP BY 1,2),
+         mm AS (SELECT doc_id, map_from_entries(list_transform(list_zip(list(bucket), list(cnt)), z -> {'k': z[1], 'v': z[2]})) AS mp
+               FROM cnts GROUP BY 1),
+         emb AS (SELECT doc_id, list_transform(generate_series(0,63), j -> CAST(coalesce(mp[j][1], 0) AS DOUBLE)) AS emb FROM mm),
+         pl AS (SELECT t, j FROM generate_series(0,3) tt(t) CROSS JOIN generate_series(0,5) jj(j)),
+         sv AS (SELECT e.doc_id, pl.t, pl.j,
+                 list_sum(list_transform(e.emb, (x, i) -> x *
+                   (CASE WHEN ((i-1)*31 + (pl.t*6 + pl.j)*17) % 2 = 0 THEN 1.0 ELSE -1.0 END))) AS s
+               FROM emb e CROSS JOIN pl),
+         bk AS (SELECT doc_id, t, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+                FROM sv GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         sc AS (SELECT c.d1, c.d2, round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos_sim
+                FROM cand c JOIN emb ea ON ea.doc_id = c.d1 JOIN emb eb ON eb.doc_id = c.d2)
+         SELECT d1, d2, cos_sim FROM sc WHERE cos_sim >= 0.95""",
 
     // The drop accounting q42 relies on: every (band, band_sig) bucket whose
     // member count exceeds the cap, with its size.

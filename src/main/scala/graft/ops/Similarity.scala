@@ -225,6 +225,74 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Deterministic feature-hashed bag-of-words embedding: component j =
+    * count of tokens whose md5-derived bucket (first 2 hex chars, i.e. 8
+    * uniform bits, mod `dim` — exact for dim dividing 256) equals j.
+    * Engine-portable (md5 + hex arithmetic, no JVM hashing), so the DuckDB
+    * oracle reconstructs identical vectors. Scale shape: token explode →
+    * (doc, bucket) count aggregate (map-side partial) → one map_from_entries
+    * assembly per doc; docs with zero tokens are absent (no zero vector to
+    * divide by). Identical documents get identical vectors — which makes
+    * cosine over these embeddings a DEDUP signal, see cosineNearDupPairs.
+    */
+  def hashedEmbeddings(docs: DataFrame, dim: Int = 64,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(256 % dim == 0, s"dim $dim must divide 256 for an unbiased 2-hex-char bucket")
+    val counts = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % dim).as("bucket"))
+      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L)).cast("double")).as("emb"))
+  }
+
+  /** Embedding-cosine near-dup pairs — the 5th dedup family (exact hash,
+    * MinHash LSH, SimHash bands, n-gram Jaccard, and now embedding cosine):
+    * sign-hyperplane LSH candidate generation over ALL vectors (the same
+    * single-bucket-aggregation + pair-explode shape as NearDup.lshCandidates
+    * — ids only, embeddings joined back afterwards, so bucket lists never
+    * carry arrays), then exact cosine verification >= `threshold` (rounded
+    * 6dp, engine-portable). Candidate recall follows the multi-table LSH
+    * bound; the DuckDB oracle replays the bucket pruning so the contract is
+    * exact. `maxBucket` is the same quadratic-bucket guardrail as the text
+    * families. Output (d1, d2, cos_sim), d1 < d2.
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+                         planes: Int = 6, tables: Int = 4,
+                         idCol: String = "vec_id", embCol: String = "embedding",
+                         dim: Int = -1, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val mat = embeddings
+      .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
+      .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
+      .localCheckpoint() // bucket scan + two verification joins
+    val dimension =
+      if (dim > 0) dim
+      else mat.select(size(col("nemb"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
+    if (dimension <= 0)
+      return mat.limit(0).select(col("nid").as("d1"), col("nid").as("d2"), lit(0.0).as("cos_sim"))
+    val bucketCols = (0 until tables).map(t =>
+      struct(lit(t).as("t"), lshBucket(col("nemb"), dimension, planes, t).as("b")).as(s"bk$t"))
+    val cand = mat
+      .select(col("nid"), explode(array(bucketCols: _*)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(col("nid"))).as("ids"))
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+    cand
+      .join(mat.select(col("nid").as("d1"), col("nemb").as("e1"), col("nnorm").as("m1")), Seq("d1"))
+      .join(mat.select(col("nid").as("d2"), col("nemb").as("e2"), col("nnorm").as("m2")), Seq("d2"))
+      .select(col("d1"), col("d2"), round(dot(col("e1"), col("e2")) / (col("m1") * col("m2")), 6).as("cos_sim"))
+      .where(col("cos_sim") >= threshold)
+  }
+
   /** @param dim embedding dimensionality (hyperplanes are literal arrays of
     *   this length). Pass it explicitly to keep plan construction lazy; the
     *   default (-1) peeks one row — and returns an empty result frame when

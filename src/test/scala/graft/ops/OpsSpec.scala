@@ -248,6 +248,26 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("embedding-cosine near-dup (5th family): hashed-TF vectors, LSH candidates, exact cosine") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while spark shuffles rows"
+    val d = docs(
+      1L -> base,
+      2L -> base,                                   // exact dup → identical vector
+      3L -> (base + " today"),                      // near-dup → high cosine
+      4L -> "completely unrelated content about huffman tables and jpeg markers")
+    val emb = Similarity.hashedEmbeddings(d)
+    // identical docs → bit-identical vectors
+    val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(vecs(1L) == vecs(2L) && vecs.values.forall(_.length == 64))
+    assert(vecs(1L).sum == 13.0) // one count per token
+    val pairs = Similarity.cosineNearDupPairs(emb, 0.9, idCol = "doc_id", embCol = "emb", dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) >= 0.9 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
+  }
+
   test("lshTopK rejects a wrong declared dim at execution (no silent wrong-bucket hashing)") {
     import spark.implicits._
     val emb = (0L until 10L).map(i => (i, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
