@@ -198,7 +198,8 @@ object Bench {
     val headline = Seq(
       "q01_pricing_agg", "q02_region_revenue", "q03_top_orders_per_segment",
       "q11_doc_stats", "q12_exact_dedup", "q15_minhash", "q34_neardup_lsh_verified",
-      "q42_neardup_guardrail", "q17_lsh_candidates", "q36_simhash_neardup", "q23_ann_cosine_topk",
+      "q42_neardup_guardrail", "q17_lsh_candidates", "q36_simhash_neardup",
+      "q44_embedding_neardup", "q23_ann_cosine_topk",
       "q35_ann_ivf_topk", "q25_kg_pipeline_triples", "q39_v1_smoothed_triples",
       "q37_ner_mentions", "q38_entity_linking", "q40_repetition_stats",
       "q41_sessionization")

@@ -268,6 +268,38 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
   }
 
+  test("cosineNearDupPairs has no false positives vs driver-side brute force (seeded loop)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "spark", "rows", "table", "join",
+      "shuffle", "codegen", "plan", "filter", "agg", "sort", "scan", "write")
+    for (trial <- 1 to 3) {
+      val rows = (0L until 30L).map { i =>
+        val n = 8 + rnd.nextInt(10)
+        (i, (0 until n).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+      }
+      val d = rows.toDF("doc_id", "text")
+      val emb = Similarity.hashedEmbeddings(d)
+      val vecs = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var dp = 0.0; var na = 0.0; var nb = 0.0
+        for (i <- a.indices) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+        math.round(dp / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+      }
+      val truth = (for {
+        a <- vecs.keys; b <- vecs.keys if a < b
+        c = cos(vecs(a), vecs(b)) if c >= 0.9
+      } yield ((a, b), c)).toMap
+      val got = Similarity.cosineNearDupPairs(emb, 0.9, idCol = "doc_id", embCol = "emb", dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // exactness on the candidate set: every emitted pair is a true pair
+      // with the exact rounded cosine (LSH may MISS pairs, never invent)
+      got.foreach { case (k, c) =>
+        assert(truth.contains(k) && truth(k) == c, s"trial $trial false positive $k -> $c")
+      }
+    }
+  }
+
   test("lshTopK rejects a wrong declared dim at execution (no silent wrong-bucket hashing)") {
     import spark.implicits._
     val emb = (0L until 10L).map(i => (i, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
