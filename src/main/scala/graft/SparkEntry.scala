@@ -314,6 +314,21 @@ object SparkEntry {
         Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, 1000)).toDF())
     }),
 
+    // Thumbnail stage: nearest-neighbor 2× downsample of every valid PNG,
+    // REAL resize over really-decoded pixels; oracle reconstructs resized
+    // dims + pixel sums from the generation formula (source pixel (2x, 2y)).
+    "q45_multimodal_resize" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.resizeFeatures(s, Multimodal.syntheticMedia(s, 1000), factor = 2).toDF()
+    }),
+
+    // Frame-sampling stage: every 2nd frame of each GVID container decoded
+    // (frames 0, 2, 4, …); one row per sampled frame.
+    "q46_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.frameSampleFeatures(s, Multimodal.syntheticVideos(s, 200), every = 2).toDF()
+    }),
+
     "q28_canon_components" -> ((s, dir) => {
       val pairs = NearDup.jaccardPairs(t(s, dir, "documents"), 0.8)
         .select(col("d1").cast("string").as("src"), col("d2").cast("string").as("dst"))
@@ -1123,6 +1138,37 @@ object SparkEntry {
                 ELSE 0 END) AS BIGINT) AS total_pixel_sum
          FROM f LEFT JOIN pbytes pb ON f.i = pb.i LEFT JOIN psum ps ON f.i = ps.i
          GROUP BY 1""",
+
+    // Resize replay: resized dims = floor(w/2), floor(h/2); resized pixel
+    // (x, y) samples source (2x, 2y) whose channel value is (i+2x+2y)%256 —
+    // antidiagonal s = x+y gives value (i+2s)%256 with the trapezoid count.
+    "q45_multimodal_resize" ->
+      """WITH f AS (SELECT i, 64+(i%512) AS w, 48+(i%256) AS h
+           FROM generate_series(0,999) t(i) WHERE i%3=0 AND i%17<>0),
+         r AS (SELECT i, w//2 AS rw, h//2 AS rh FROM f),
+         ps AS (SELECT r.i,
+                  3*sum((least(s.s, r.rw-1, r.rh-1, r.rw+r.rh-2-s.s)+1) * ((r.i + 2*s.s) % 256)) AS px
+                FROM r JOIN generate_series(0, 436) s(s) ON s.s <= r.rw+r.rh-2
+                GROUP BY 1)
+         SELECT r.i AS media_id, CAST(r.rw AS INTEGER) AS rw, CAST(r.rh AS INTEGER) AS rh,
+                CAST(ps.px AS BIGINT) AS resized_pixel_sum
+         FROM r JOIN ps ON r.i = ps.i""",
+
+    // Frame-sample replay: every 2nd frame of each non-corrupt GVID; frame
+    // f of video i carries the pixel formula of id = i·1000+f.
+    "q46_multimodal_frames" ->
+      """WITH v AS (SELECT i, 4+(i%5) AS nf, 24+(i%16) AS w, 16+(i%8) AS h
+           FROM generate_series(0,199) t(i) WHERE i%13<>0),
+         fr AS (SELECT v.i, v.w, v.h, ff.f
+                FROM v JOIN generate_series(0, 8) ff(f) ON ff.f < v.nf AND ff.f % 2 = 0),
+         ps AS (SELECT fr.i, fr.f,
+                  3*sum((least(s.s, fr.w-1, fr.h-1, fr.w+fr.h-2-s.s)+1) * ((fr.i*1000 + fr.f + s.s) % 256)) AS px
+                FROM fr JOIN generate_series(0, 60) s(s) ON s.s <= fr.w+fr.h-2
+                GROUP BY 1, 2)
+         SELECT fr.i AS media_id, CAST(fr.f AS INTEGER) AS frame_idx,
+                CAST(fr.w AS INTEGER) AS width, CAST(fr.h AS INTEGER) AS height,
+                CAST(ps.px AS BIGINT) AS pixel_sum
+         FROM fr JOIN ps ON fr.i = ps.i AND fr.f = ps.f""",
 
     // F2 regex NER replayed in SQL: rebuild the derived body, take the first
     // 10 raw regex matches (duplicates count toward the cap), then distinct

@@ -293,33 +293,10 @@ object Multimodal {
     * 8-bit truecolor layout the generator emits; anything malformed → None.
     */
   def decodePngPixels(p: Array[Byte]): Option[Long] =
-    decodePng(p).flatMap { case (w, h) =>
-      try {
-        if ((p(24) & 0xff) != 8 || (p(25) & 0xff) != 2) return None // bit depth 8, truecolor
-        val idat = new java.io.ByteArrayOutputStream()
-        var pos = 8
-        var done = false
-        while (!done && pos + 8 <= p.length) {
-          val len = rdBe32(p, pos)
-          if (len < 0 || pos + 12 + len > p.length) return None
-          if (tag(p, pos + 4, "IDAT")) idat.write(p, pos + 8, len)
-          if (tag(p, pos + 4, "IEND")) done = true
-          pos += 12 + len
-        }
-        val stride = 3 * w
-        val raw = new Array[Byte](h * (1 + stride))
-        val inf = new java.util.zip.Inflater()
-        inf.setInput(idat.toByteArray)
-        val n = inf.inflate(raw)
-        val ok = n == raw.length && inf.finished()
-        inf.end()
-        if (!ok) None
-        else unfilterScanlines(raw, w, h, 3).map { px =>
-          var s = 0L; var i = 0
-          while (i < px.length) { s += px(i) & 0xff; i += 1 }
-          s
-        }
-      } catch { case _: Exception => None }
+    decodePngRaw(p).map { case (_, _, px) =>
+      var s = 0L; var i = 0
+      while (i < px.length) { s += px(i) & 0xff; i += 1 }
+      s
     }
 
   /** JPEG SOF scan: walk FF-marker segments from SOI until a start-of-frame
@@ -491,6 +468,104 @@ object Multimodal {
       .getOrElse((false, 0, 0, 0, 0, 0L))
   }
 
+  /** Full PNG pixel decode to the raw byte array (w, h, channel bytes) —
+    * shared by the pixel-sum statistic and the resize path.
+    */
+  def decodePngRaw(p: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodePng(p).flatMap { case (w, h) =>
+      try {
+        if ((p(24) & 0xff) != 8 || (p(25) & 0xff) != 2) return None
+        val idat = new java.io.ByteArrayOutputStream()
+        var pos = 8
+        var done = false
+        while (!done && pos + 8 <= p.length) {
+          val len = rdBe32(p, pos)
+          if (len < 0 || pos + 12 + len > p.length) return None
+          if (tag(p, pos + 4, "IDAT")) idat.write(p, pos + 8, len)
+          if (tag(p, pos + 4, "IEND")) done = true
+          pos += 12 + len
+        }
+        val stride = 3 * w
+        val raw = new Array[Byte](h * (1 + stride))
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(idat.toByteArray)
+        val n = inf.inflate(raw)
+        val ok = n == raw.length && inf.finished()
+        inf.end()
+        if (!ok) None else unfilterScanlines(raw, w, h, 3).map(px => (w, h, px))
+      } catch { case _: Exception => None }
+    }
+
+  /** Nearest-neighbor downsample of a decoded truecolor PNG by an integer
+    * `factor`: output pixel (x, y) = source pixel (x·factor, y·factor).
+    * Returns (newW, newH, pixel_sum over the resized image). Real pixel
+    * math on really-decoded bytes — the Spark-side op a thumbnailing
+    * pipeline stage needs; a full resampler (area/bilinear) would reuse the
+    * same decoded buffer.
+    */
+  def resizePng(p: Array[Byte], factor: Int): Option[(Int, Int, Long)] =
+    decodePngRaw(p).flatMap { case (w, h, px) =>
+      if (factor < 1 || w < factor || h < factor) None
+      else {
+        val nw = w / factor; val nh = h / factor
+        var s = 0L
+        var y = 0
+        while (y < nh) {
+          val srcRow = (y * factor) * w * 3
+          var x = 0
+          while (x < nw) {
+            val o = srcRow + (x * factor) * 3
+            s += (px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((nw, nh, s))
+      }
+    }
+
+  // ------------------------------------------------------------- video
+
+  /** Synthetic video container ("GVID"): magic + BE32 frame count + BE32
+    * per-frame lengths + concatenated REAL PNG frames (frame f of video id
+    * carries pixel formula id·1000+f). Deterministic byte layout so frame
+    * indexing, sampling, and per-frame decode are all oracle-checkable.
+    */
+  def videoBytes(id: Long, frames: Int, w: Int, h: Int): Array[Byte] = {
+    val fs = (0 until frames).map(f => pngBytes(id * 1000 + f, w, h))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GVID".getBytes("US-ASCII"))
+    out.write(be32(frames))
+    fs.foreach(f => out.write(be32(f.length)))
+    fs.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Frame sampling: parse the GVID index and decode every `every`-th frame
+    * (0, every, 2·every, …) — the remaining frames' bytes are never
+    * inflated, which is the point of an indexed container at 100 TB: a
+    * 1-in-30 sample reads 1/30 of the pixel work. Returns
+    * (frame_idx, w, h, pixel_sum) per sampled frame.
+    */
+  def sampleFrames(p: Array[Byte], every: Int): Seq[(Int, Int, Int, Long)] = {
+    try {
+      if (p == null || p.length < 8 || !tag(p, 0, "GVID") || every < 1) return Nil
+      val n = rdBe32(p, 4)
+      if (n < 0 || 8 + 4 * n > p.length) return Nil
+      val lens = Array.tabulate(n)(i => rdBe32(p, 8 + 4 * i))
+      if (lens.exists(_ < 0)) return Nil
+      val offsets = lens.scanLeft(8 + 4 * n)(_ + _)
+      if (offsets.last > p.length) return Nil
+      (0 until n by every).flatMap { f =>
+        val frame = java.util.Arrays.copyOfRange(p, offsets(f), offsets(f) + lens(f))
+        for {
+          (w, h) <- decodePng(frame)
+          s <- decodePngPixels(frame)
+        } yield (f, w, h, s)
+      }
+    } catch { case _: Exception => Nil }
+  }
+
   /** Feature extraction over binary payloads — mapPartitions so a full codec
     * can amortize per-batch init (model load, JNI context) exactly like a
     * Pandas UDF would; rows stream through without full materialization.
@@ -527,6 +602,49 @@ object Multimodal {
           case _ => wavBytes(i, sr, ch)
         }
       MediaRow(i, kind, payload)
+    }
+  }
+
+  final case class ResizedRow(media_id: Long, rw: Int, rh: Int, resized_pixel_sum: Long)
+
+  /** Thumbnail/resize stage over PNG payloads: nearest-neighbor downsample
+    * by `factor` per partition (decode buffer reused per row, codec seam as
+    * in extractFeatures). Non-PNG / corrupt rows are dropped — a real
+    * pipeline forks them to a quarantine sink.
+    */
+  def resizeFeatures(spark: SparkSession, media: Dataset[MediaRow],
+                     factor: Int): Dataset[ResizedRow] = {
+    import spark.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      resizePng(m.payload, factor).map { case (w, h, s) => ResizedRow(m.media_id, w, h, s) }
+    })
+  }
+
+  final case class FrameRow(media_id: Long, frame_idx: Int, width: Int, height: Int, pixel_sum: Long)
+
+  /** Frame-sampling stage over video payloads: one input row explodes into
+    * its sampled, decoded frames (typed flatMap — narrow, no shuffle; only
+    * every `every`-th frame's bytes are inflated).
+    */
+  def frameSampleFeatures(spark: SparkSession, videos: Dataset[MediaRow],
+                          every: Int): Dataset[FrameRow] = {
+    import spark.implicits._
+    videos.flatMap(m => sampleFrames(m.payload, every).map { case (f, w, h, s) =>
+      FrameRow(m.media_id, f, w, h, s)
+    })
+  }
+
+  /** Synthetic video table: GVID containers of real PNG frames; every 13th
+    * payload corrupt. Small frames (dims from the id) keep per-row decode
+    * bounded while still exercising the full index-parse + per-frame path.
+    */
+  def syntheticVideos(spark: SparkSession, n: Long): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val payload =
+        if (i % 13 == 0) Array[Byte](9, 9, 9)
+        else videoBytes(i, frames = 4 + (i % 5).toInt, w = 24 + (i % 16).toInt, h = 16 + (i % 8).toInt)
+      MediaRow(i, "video", payload)
     }
   }
 

@@ -403,6 +403,33 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeJpegPixels(Multimodal.wavBytes(1L, 8000, 1)).isEmpty)
   }
 
+  test("multimodal: resize + video frame-sample on really-decoded pixels") {
+    // resize: nearest-neighbor ÷2 picks source (2x, 2y) → closed-form sum
+    val png = Multimodal.pngBytes(5L, 20, 14)
+    val Some((rw, rh, rs)) = Multimodal.resizePng(png, 2)
+    assert((rw, rh) == (10, 7))
+    val expect = (for (y <- 0 until 7; x <- 0 until 10)
+      yield 3L * Multimodal.pixelValue(5L, 2 * x, 2 * y)).sum
+    assert(rs == expect)
+    // degenerate factors rejected; non-PNG rejected
+    assert(Multimodal.resizePng(png, 0).isEmpty)
+    assert(Multimodal.resizePng(Multimodal.wavBytes(1L, 8000, 1), 2).isEmpty)
+    // video: GVID index parse, every-2nd-frame decode, per-frame formula
+    val vid = Multimodal.videoBytes(7L, frames = 5, w = 16, h = 12)
+    val frames = Multimodal.sampleFrames(vid, every = 2)
+    assert(frames.map(_._1) == Seq(0, 2, 4))
+    frames.foreach { case (f, w, h, s) =>
+      assert(w == 16 && h == 12)
+      val e = (for (y <- 0 until 12; x <- 0 until 16)
+        yield 3L * Multimodal.pixelValue(7L * 1000 + f, x, y)).sum
+      assert(s == e, s"frame $f pixel sum")
+    }
+    // every=1 decodes all frames; corrupt/truncated containers yield none
+    assert(Multimodal.sampleFrames(vid, 1).map(_._1) == Seq(0, 1, 2, 3, 4))
+    assert(Multimodal.sampleFrames(Array[Byte](9, 9, 9), 2).isEmpty)
+    assert(Multimodal.sampleFrames(vid.take(vid.length - 10), 2).isEmpty)
+  }
+
   test("multimodal: PNG pixel decode (inflate + unfilter) matches the generation formula") {
     // decode goes chunk walk → Inflater → unfilter; expected sum from formula
     for ((id, w, h) <- Seq((7L, 64, 48), (123L, 575, 303), (0L, 1, 1))) {
