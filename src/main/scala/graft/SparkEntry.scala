@@ -133,6 +133,12 @@ object SparkEntry {
 
     "q12_exact_dedup" -> ((s, dir) => TextOps.exactDedup(t(s, dir, "documents"))),
 
+    // Winnowing fingerprints (rolling-hash document fingerprinting): k=5
+    // grams, w=4 windows, rightmost-min selection — the MOSS substring-
+    // matching scheme, fully replayed by the oracle.
+    "q47_winnowing_fingerprints" -> ((s, dir) =>
+      TextOps.winnowingFingerprints(t(s, dir, "documents"))),
+
     "q13_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val votes = TextOps.langVotes(col("text"))
@@ -651,6 +657,21 @@ object SparkEntry {
          doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate,
          count(*) OVER (PARTITION BY md5(text)) AS group_size
          FROM documents""",
+
+    // Winnowing replay: 6-hex-char md5 gram hashes, window-of-4 rightmost
+    // minima — identical integer arithmetic, so positions and values hash-
+    // match exactly.
+    "q47_winnowing_fingerprints" ->
+      """WITH hs AS (SELECT doc_id,
+           list_transform(generate_series(1, length(text) - 4), i ->
+             (strpos('0123456789abcdef', substr(md5(substr(text, i, 5)), 1, 1))-1)*1048576+(strpos('0123456789abcdef', substr(md5(substr(text, i, 5)), 2, 1))-1)*65536+(strpos('0123456789abcdef', substr(md5(substr(text, i, 5)), 3, 1))-1)*4096+(strpos('0123456789abcdef', substr(md5(substr(text, i, 5)), 4, 1))-1)*256+(strpos('0123456789abcdef', substr(md5(substr(text, i, 5)), 5, 1))-1)*16+(strpos('0123456789abcdef', substr(md5(substr(text, i, 5)), 6, 1))-1)*1) AS h
+           FROM documents),
+         sel AS (SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(h) - 3), s ->
+             {'pos': s + 4 - list_position(list_reverse(list_slice(h, s, s + 3)), list_min(list_slice(h, s, s + 3))),
+              'fp': list_min(list_slice(h, s, s + 3))})) AS u
+           FROM hs)
+         SELECT DISTINCT doc_id, CAST(u.pos AS INTEGER) AS pos, CAST(u.fp AS BIGINT) AS fp FROM sel""",
 
     "q13_langid" -> {
       def occ(w: String) =

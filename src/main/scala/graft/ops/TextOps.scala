@@ -42,6 +42,81 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowing document fingerprints (Schleimer et al., the MOSS scheme):
+    * hash every k-char gram, slide a window of `w` hashes, select each
+    * window's MINIMUM (rightmost position on ties) — any substring of
+    * length >= w+k-1 shared by two documents then contributes at least one
+    * shared fingerprint, which whole-document md5 (`fingerprint`) cannot
+    * offer. This is the portable variant: gram hash = first 6 md5 hex chars
+    * (engine-replayable in SQL); `winnowRolling` below is the same
+    * selection over a true O(1)-per-position Karp-Rabin rolling hash — the
+    * scale path when md5-per-gram is too hot. Output: (doc_id, pos, fp)
+    * rows, distinct, pos = 1-based gram position of the selected hash.
+    * Pure Column expressions (gram hashing + window selection run inside
+    * one narrow projection; the only shuffle is the final distinct).
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // CASE guards: Spark's sequence(1, 0) counts DOWN, so an unguarded
+    // too-short text would fabricate grams/windows at invalid positions
+    val hashesExpr =
+      s"case when length($textCol) >= $k then " +
+        s"transform(sequence(1, length($textCol) - ${k - 1}), " +
+        s"i -> cast(conv(substring(md5(substring($textCol, i, $k)), 1, 6), 16, 10) as bigint)) " +
+        s"else cast(array() as array<bigint>) end"
+    docs
+      .selectExpr(s"$idCol as doc_id", s"$hashesExpr as hs") // materialize BEFORE the
+      // window lambda below — HOF lambdas get no common-subexpression
+      // elimination, so an inlined gram-hash array would re-hash per window
+      .selectExpr("doc_id",
+        s"""explode(case when size(hs) >= $w then
+           transform(sequence(1, size(hs) - ${w - 1}), s ->
+           named_struct(
+             'pos', s + $w - cast(array_position(reverse(slice(hs, s, $w)), array_min(slice(hs, s, $w))) as int),
+             'fp', array_min(slice(hs, s, $w))))
+           else cast(array() as array<struct<pos:int,fp:bigint>>) end) as sel""")
+      .select(col("doc_id"), col("sel.pos").as("pos"), col("sel.fp").as("fp"))
+      .distinct()
+  }
+
+  /** Karp-Rabin winnowing (driver/executor-side scale twin of
+    * `winnowingFingerprints`): polynomial rolling hash (base 257 mod 2^61-1)
+    * computed in O(1) per position, same rightmost-min window selection.
+    * Returns distinct (pos, fp) pairs, pos 1-based.
+    */
+  def winnowRolling(text: String, k: Int = 5, w: Int = 4): Seq[(Int, Long)] = {
+    if (text == null || text.length < k) return Nil
+    val M = (1L << 61) - 1
+    val B = 257L
+    def mulmod(a: Long, b: Long): Long = {
+      // 128-bit multiply mod 2^61-1 via Math.multiplyHigh
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      val r = (lo & M) + ((hi << 3) | (lo >>> 61))
+      if (r >= M) r - M else r
+    }
+    var pow = 1L
+    for (_ <- 1 until k) pow = mulmod(pow, B)
+    val n = text.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    for (i <- 0 until k) h = (mulmod(h, B) + text.charAt(i)) % M
+    hs(0) = h
+    for (i <- 1 until n) {
+      h = (h + M - mulmod(text.charAt(i - 1), pow) % M) % M
+      h = (mulmod(h, B) + text.charAt(i + k - 1)) % M
+      hs(i) = h
+    }
+    if (n < w) return Nil
+    val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+    for (s <- 0 to n - w) {
+      var best = s
+      for (j <- s + 1 until s + w) if (hs(j) <= hs(best)) best = j // rightmost min
+      out += ((best + 1, hs(best)))
+    }
+    out.toSeq
+  }
+
   /** Occurrences of a token with word boundaries via padded substring count
     * (replace-based so the same non-overlapping semantics hold in any engine).
     */

@@ -43,6 +43,45 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == 0)
   }
 
+  test("winnowing fingerprints: selection matches a driver-side replay; shared substrings share fps") {
+    import spark.implicits._
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "a different prefix but the quick brown fox jumps appears here"
+    val t3 = "zz"                                      // shorter than k → no grams
+    val d = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val got = TextOps.winnowingFingerprints(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // driver-side replay of the md5-gram variant, same k/w and tie rule
+    def replay(text: String, k: Int = 5, w: Int = 4): Set[(Int, Long)] = {
+      if (text.length < k) return Set.empty
+      val hs = (0 to text.length - k).map(i =>
+        java.lang.Long.parseLong(graft.text.PyText.md5Hex(text.substring(i, i + k)).take(6), 16))
+      if (hs.length < w) return Set.empty
+      (0 to hs.length - w).map { s =>
+        var best = s
+        for (j <- s + 1 until s + w) if (hs(j) <= hs(best)) best = j
+        (best + 1, hs(best))
+      }.toSet
+    }
+    assert(got.filter(_._1 == 1L).map(x => (x._2, x._3)).toSet == replay(t1))
+    assert(got.filter(_._1 == 2L).map(x => (x._2, x._3)).toSet == replay(t2))
+    assert(!got.exists(_._1 == 3L))
+    // the winnowing guarantee: a shared substring of length >= w+k-1 (here
+    // "the quick brown fox jumps", 25 >= 8) yields a shared fp VALUE
+    val f1 = got.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = got.filter(_._1 == 2L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty)
+    // Karp-Rabin twin: same guarantee, O(1) rolling hash
+    val r1 = TextOps.winnowRolling(t1).map(_._2).toSet
+    val r2 = TextOps.winnowRolling(t2).map(_._2).toSet
+    assert((r1 & r2).nonEmpty)
+    assert(TextOps.winnowRolling(t3).isEmpty)
+    // unrelated text shares nothing under either variant
+    val u = "entirely unrelated symbols 0123456789!@#$%^&*()qwertyuiop"
+    assert((TextOps.winnowRolling(u).map(_._2).toSet & r1).isEmpty)
+    assert((replay(u).map(_._2) & f1).isEmpty)
+  }
+
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "z y x w v")
     val sig = NearDup.minhashSignatures(d, k = 4).collect()
