@@ -306,13 +306,17 @@ object SparkEntry {
       NearDup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 4)),
 
     // The 5th dedup family: feature-hashed doc embeddings (identical docs →
-    // identical vectors) → hyperplane-LSH candidates → exact cosine >= 0.95.
-    // The oracle reconstructs the hashed vectors, the bucket pruning, and
-    // the cosine arithmetic.
+    // identical vectors) → hyperplane-LSH candidates (12 planes × 4 tables;
+    // TF vectors are angularly clustered, so the mega-bucket guardrail runs
+    // ON at 512 — the dense near-identical cluster is exactly what exact
+    // dedup must thin first) → exact cosine >= 0.95. The oracle
+    // reconstructs the hashed vectors, the bucket pruning INCLUDING the
+    // cap, and the cosine arithmetic.
     "q44_embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
         Similarity.hashedEmbeddings(t(s, dir, "documents")), 0.95,
-        idCol = "doc_id", embCol = "emb", dim = 64)),
+        planes = 12, tables = 4,
+        idCol = "doc_id", embCol = "emb", dim = 64, maxBucket = 512)),
 
     "q27_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -976,15 +980,17 @@ object SparkEntry {
          mm AS (SELECT doc_id, map_from_entries(list_transform(list_zip(list(bucket), list(cnt)), z -> {'k': z[1], 'v': z[2]})) AS mp
                FROM cnts GROUP BY 1),
          emb AS (SELECT doc_id, list_transform(generate_series(0,63), j -> CAST(coalesce(mp[j][1], 0) AS DOUBLE)) AS emb FROM mm),
-         pl AS (SELECT t, j FROM generate_series(0,3) tt(t) CROSS JOIN generate_series(0,5) jj(j)),
+         pl AS (SELECT t, j FROM generate_series(0,3) tt(t) CROSS JOIN generate_series(0,11) jj(j)),
          sv AS (SELECT e.doc_id, pl.t, pl.j,
                  list_sum(list_transform(e.emb, (x, i) -> x *
-                   (CASE WHEN ((i-1)*31 + (pl.t*6 + pl.j)*17) % 2 = 0 THEN 1.0 ELSE -1.0 END))) AS s
+                   (CASE WHEN ((CAST(i-1 AS BIGINT)*2654435761 + CAST(pl.t*12 + pl.j AS BIGINT)*40503 + 2654435769) >> 16) & 1 = 0 THEN 1.0 ELSE -1.0 END))) AS s
                FROM emb e CROSS JOIN pl),
          bk AS (SELECT doc_id, t, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
                 FROM sv GROUP BY 1, 2),
+         keep AS (SELECT t, bucket FROM bk GROUP BY 1, 2 HAVING count(*) BETWEEN 2 AND 512),
+         kb AS (SELECT b.* FROM bk b JOIN keep k ON b.t = k.t AND b.bucket = k.bucket),
          cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-                  FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+                  FROM kb a JOIN kb b ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          sc AS (SELECT c.d1, c.d2, round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos_sim
                 FROM cand c JOIN emb ea ON ea.doc_id = c.d1 JOIN emb eb ON eb.doc_id = c.d2)
          SELECT d1, d2, cos_sim FROM sc WHERE cos_sim >= 0.95""",
@@ -1035,7 +1041,7 @@ object SparkEntry {
          pl AS (SELECT t, j FROM generate_series(0,3) tt(t) CROSS JOIN generate_series(0,5) jj(j)),
          s AS (SELECT e.vec_id, pl.t, pl.j,
                  list_sum(list_transform(e.emb, (x, i) -> x *
-                   (CASE WHEN ((i-1)*31 + (pl.t*6 + pl.j)*17) % 2 = 0 THEN 1.0 ELSE -1.0 END))) AS sv
+                   (CASE WHEN ((CAST(i-1 AS BIGINT)*2654435761 + CAST(pl.t*6 + pl.j AS BIGINT)*40503 + 2654435769) >> 16) & 1 = 0 THEN 1.0 ELSE -1.0 END))) AS sv
                FROM e CROSS JOIN pl),
          bk AS (SELECT vec_id, t, CAST(sum(CASE WHEN sv > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
                 FROM s GROUP BY 1, 2),

@@ -56,13 +56,20 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane vector for plane j over `dim` dimensions —
-    * portable (no RNG): +1 when (31·i + 17·j) is even. Computed driver-side
-    * and shipped as a LITERAL array, so the projection stays fully codegen'd
-    * (a zip_with/aggregate fold here would evict the whole Project from
-    * whole-stage codegen).
+    * portable (no RNG): sign = bit 16 of the Knuth-style mix
+    * i·2654435761 + j·40503 + 2654435769. Computed driver-side and shipped
+    * as a LITERAL array, so the projection stays fully codegen'd (a
+    * zip_with/aggregate fold here would evict the whole Project from
+    * whole-stage codegen), and replayed with the same integer arithmetic by
+    * the SQL oracles. (Round-4 fix: the previous (31·i + 17·j) % 2 formula
+    * reduces to parity of i+j — every plane was one of TWO vectors or their
+    * negations, so buckets barely split and candidate sets went quadratic
+    * on clustered corpora.)
     */
   def hyperplane(dim: Int, j: Int): Array[Double] =
-    Array.tabulate(dim)(i => if ((31 * i + 17 * j) % 2 == 0) 1.0 else -1.0)
+    Array.tabulate(dim) { i =>
+      if (((i.toLong * 2654435761L + j.toLong * 40503L + 2654435769L) >> 16 & 1L) == 0L) 1.0 else -1.0
+    }
 
   /** Sign-hyperplane LSH bucket id for one hash table: bit j =
     * sign(graft_dot(emb, hyperplane(table·planes + j))). `emb` must already
@@ -276,8 +283,20 @@ object Similarity {
       return mat.limit(0).select(col("nid").as("d1"), col("nid").as("d2"), lit(0.0).as("cos_sim"))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col("nemb"), dimension, planes, t).as("b")).as(s"bk$t"))
-    val cand = mat
-      .select(col("nid"), explode(array(bucketCols: _*)).as("bucket"))
+    val bucketRows = mat.select(col("nid"), explode(array(bucketCols: _*)).as("bucket"))
+    // same cap discipline as NearDup.lshCandidates: when the guardrail is
+    // set, a cheap COUNT + semi-join prunes mega-buckets BEFORE any member
+    // list is collected
+    val pruned =
+      if (maxBucket == Int.MaxValue) bucketRows
+      else {
+        val rows = bucketRows.localCheckpoint()
+        val keep = rows.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+          .where(col("bn") > 1 && col("bn") <= maxBucket)
+          .select(col("bucket"))
+        rows.join(keep, Seq("bucket"), "left_semi")
+      }
+    val cand = pruned
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("nid"))).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)

@@ -202,11 +202,16 @@ class OpsSpec extends SparkSpec {
 
   test("LSH top-k: candidates stay in-cluster; multi-table recall beats single-table") {
     import spark.implicits._
-    // two tight clusters: neighbors of a query live in its own cluster
+    // two tight clusters around RANDOM centers (a ±all-ones center is
+    // adversarial for ±1 hyperplanes: any balanced plane projects it to
+    // exactly 0 and the sign becomes noise — real embeddings don't sit on
+    // the Rademacher lattice)
     val rnd = new scala.util.Random(7)
+    val c0 = Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f)
+    val c1 = Array.fill(16)((rnd.nextFloat() - 0.5f) * 2f)
     val rows = (0 until 100).map { i =>
-      val base = if (i % 2 == 0) Array.fill(16)(1.0f) else Array.fill(16)(-1.0f)
-      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.1f))
+      val base = if (i % 2 == 0) c0 else c1
+      (i.toLong, base.map(x => x + rnd.nextFloat() * 0.05f))
     }
     val emb = rows.toDF("vec_id", "embedding")
     val bf = Similarity.bruteForceTopK(emb, Seq(0L), k = 5).collect().map(_.getLong(1)).toSet
