@@ -90,7 +90,7 @@ object Bench {
     var acceptedLo = 0
     var acceptedHi = 0
     var rejected = 0
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "600").toLong
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "900").toLong
     var deadline = System.nanoTime() + budgetSec * 1000000000L
     var bestSpin = Double.MaxValue
     var lastSpin = Double.MaxValue
