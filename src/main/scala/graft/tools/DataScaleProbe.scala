@@ -76,6 +76,10 @@ object DataScaleProbe {
       println(s"n=$n lsh_verified drops: ${scaled.logDrops()}")
       record("simhash_neardup")(NearDup.simhashNearDupPairs(
         canonical, maxHamming = 4, maxBucket = 64).count())
+      record("embedding_neardup")(graft.ops.Similarity.cosineNearDupPairs(
+        graft.ops.Similarity.hashedEmbeddings(canonical), 0.95,
+        planes = 12, tables = 4, idCol = "doc_id", embCol = "emb",
+        dim = 64, maxBucket = 512).count())
       record("kg_triples")(Pipeline.docGraphs(spark,
         Corpus.pages(spark, n, partitions = 128))
         .flatMap(g => GraphBuild.triples(g)).count())
