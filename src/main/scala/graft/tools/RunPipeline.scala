@@ -7,15 +7,18 @@ import org.apache.spark.sql.SparkSession
 /** CLI entry point: run the full KG pipeline over the synthetic corpus and
   * materialize nodes/edges/triples/metrics/lineage tables.
   *
-  * Usage: runMain graft.tools.RunPipeline <nDocs> <outDir> [cores] [resume]
-  * (spark-submit --class graft.tools.RunPipeline on a cluster.)
+  * Usage: runMain graft.tools.RunPipeline <nDocs> <outDir> [cores] [resume] [v1]
+  * (`v1` opts into the v1-builder mode: co-occurrence edges, temporal
+  * stamps, confidence smoothing. spark-submit --class
+  * graft.tools.RunPipeline on a cluster.)
   */
 object RunPipeline {
   def main(args: Array[String]): Unit = {
     val n = args(0).toLong
     val outDir = args(1)
     val cores = if (args.length > 2) args(2) else "4"
-    val resume = args.length > 3 && args(3) == "resume"
+    val resume = args.contains("resume")
+    val v1 = args.contains("v1")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cores]"))
       .appName("graft-kg-pipeline")
@@ -32,7 +35,7 @@ object RunPipeline {
     // fresh runId per ATTEMPT (the commit protocol refuses reuse — resume
     // dedup rides on the lineage table, not on the run id)
     val runId = s"run_${n}_${System.currentTimeMillis()}"
-    val result = Pipeline.run(spark, pages, runId = runId, outDir = outDir, resume = resume)
+    val result = Pipeline.run(spark, pages, runId = runId, outDir = outDir, resume = resume, v1 = v1)
     val secs = (System.nanoTime() - t0) / 1e9
 
     val nodes = spark.read.parquet(s"$outDir/nodes")
@@ -52,6 +55,12 @@ object RunPipeline {
       nodes.withColumnRenamed("node_id", "node_id"), edges, someCustomer)
     nh.show(12, truncate = false)
     eh.show(12, truncate = false)
+    if (v1) {
+      println("--- temporal stamps (v1, F19) ---")
+      nodes.groupBy("temporal_category").count().show(5, truncate = false)
+      println(s"distinct temporal_index values: " +
+        nodes.select("temporal_index").distinct().count())
+    }
     println("--- per-partition metrics (lineage/north rule) ---")
     spark.read.parquet(s"$outDir/metrics").orderBy("partition_id").show(8, truncate = false)
     spark.stop()
