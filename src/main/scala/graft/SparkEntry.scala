@@ -563,6 +563,15 @@ object SparkEntry {
   /** Shared SimHash CTE chain for the q26/q36 oracles: per-token md5 votes →
     * 16-char hex reassembly, ending in `sh(doc_id, simhash)`.
     */
+  /** Literal hyperplane rows for the LSH oracles — generated from
+    * Similarity.hyperplane itself (one source of truth; no cross-engine
+    * arithmetic to keep in sync). Rows: (t, j, vec DOUBLE[dim]).
+    */
+  private def planeValuesSql(dim: Int, planes: Int, tables: Int): String =
+    (for { t <- 0 until tables; j <- 0 until planes } yield
+      s"($t, $j, [" + graft.ops.Similarity.hyperplane(dim, t * planes + j)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString(",") + "])").mkString(", ")
+
   private def simhashOracleCtes: String = {
     val split = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
     def bit(j: Int) =
@@ -971,7 +980,7 @@ object SparkEntry {
     // mod 64), q24-style hyperplane buckets over them, pair candidates per
     // (table, bucket), exact cosine >= 0.95 rounded 6dp.
     "q44_embedding_neardup" ->
-      """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')) AS tok FROM documents),
+      ("""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')) AS tok FROM documents),
          bkt AS (SELECT doc_id,
                   ((strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*16 +
                    (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)) % 64 AS bucket
@@ -980,10 +989,9 @@ object SparkEntry {
          mm AS (SELECT doc_id, map_from_entries(list_transform(list_zip(list(bucket), list(cnt)), z -> {'k': z[1], 'v': z[2]})) AS mp
                FROM cnts GROUP BY 1),
          emb AS (SELECT doc_id, list_transform(generate_series(0,63), j -> CAST(coalesce(mp[j][1], 0) AS DOUBLE)) AS emb FROM mm),
-         pl AS (SELECT t, j FROM generate_series(0,3) tt(t) CROSS JOIN generate_series(0,11) jj(j)),
+         pl AS (SELECT * FROM (VALUES """ + planeValuesSql(64, 12, 4) + """) AS v(t, j, vec)),
          sv AS (SELECT e.doc_id, pl.t, pl.j,
-                 list_sum(list_transform(e.emb, (x, i) -> x *
-                   (CASE WHEN ((CAST(i-1 AS BIGINT)*2654435761 + CAST(pl.t*12 + pl.j AS BIGINT)*40503 + 2654435769) >> 16) & 1 = 0 THEN 1.0 ELSE -1.0 END))) AS s
+                 list_sum(list_transform(e.emb, (x, i) -> x * pl.vec[i])) AS s
                FROM emb e CROSS JOIN pl),
          bk AS (SELECT doc_id, t, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
                 FROM sv GROUP BY 1, 2),
@@ -993,7 +1001,7 @@ object SparkEntry {
                   FROM kb a JOIN kb b ON a.t = b.t AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
          sc AS (SELECT c.d1, c.d2, round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos_sim
                 FROM cand c JOIN emb ea ON ea.doc_id = c.d1 JOIN emb eb ON eb.doc_id = c.d2)
-         SELECT d1, d2, cos_sim FROM sc WHERE cos_sim >= 0.95""",
+         SELECT d1, d2, cos_sim FROM sc WHERE cos_sim >= 0.95"""),
 
     // The drop accounting q42 relies on: every (band, band_sig) bucket whose
     // member count exceeds the cap, with its size.
@@ -1037,11 +1045,10 @@ object SparkEntry {
     // are deterministic (parity of 31·i + 17·plane), so bucket assignment,
     // candidate set, and exact cosine re-rank are all reconstructable in SQL.
     "q24_ann_lsh_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         pl AS (SELECT t, j FROM generate_series(0,3) tt(t) CROSS JOIN generate_series(0,5) jj(j)),
+      ("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         pl AS (SELECT * FROM (VALUES """ + planeValuesSql(64, 6, 4) + """) AS v(t, j, vec)),
          s AS (SELECT e.vec_id, pl.t, pl.j,
-                 list_sum(list_transform(e.emb, (x, i) -> x *
-                   (CASE WHEN ((CAST(i-1 AS BIGINT)*2654435761 + CAST(pl.t*6 + pl.j AS BIGINT)*40503 + 2654435769) >> 16) & 1 = 0 THEN 1.0 ELSE -1.0 END))) AS sv
+                 list_sum(list_transform(e.emb, (x, i) -> x * pl.vec[i])) AS sv
                FROM e CROSS JOIN pl),
          bk AS (SELECT vec_id, t, CAST(sum(CASE WHEN sv > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
                 FROM s GROUP BY 1, 2),
@@ -1052,7 +1059,7 @@ object SparkEntry {
          sc AS (SELECT c.qid, c.nid, round(list_cosine_similarity(eq.emb, en.emb), 6) AS cos_sim
                 FROM cand c JOIN e eq ON eq.vec_id = c.qid JOIN e en ON en.vec_id = c.nid),
          r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, nid) AS BIGINT) AS rnk FROM sc)
-         SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5""",
+         SELECT qid, nid, cos_sim, rnk FROM r WHERE rnk <= 5"""),
 
     // IVF-Flat ANN with a k-means-TRAINED coarse quantizer: seeds = 16
     // smallest ids, 2 deterministic training rounds (assignment by rounded

@@ -56,19 +56,25 @@ object Similarity {
   }
 
   /** Deterministic ±1 hyperplane vector for plane j over `dim` dimensions —
-    * portable (no RNG): sign = bit 16 of the Knuth-style mix
-    * i·2654435761 + j·40503 + 2654435769. Computed driver-side and shipped
-    * as a LITERAL array, so the projection stays fully codegen'd (a
-    * zip_with/aggregate fold here would evict the whole Project from
-    * whole-stage codegen), and replayed with the same integer arithmetic by
-    * the SQL oracles. (Round-4 fix: the previous (31·i + 17·j) % 2 formula
-    * reduces to parity of i+j — every plane was one of TWO vectors or their
-    * negations, so buckets barely split and candidate sets went quadratic
-    * on clustered corpora.)
+    * portable (no RNG): sign = low bit of the splitmix64 finalizer of
+    * (j << 32) | i. Computed driver-side and shipped as a LITERAL array, so
+    * the projection stays fully codegen'd (a zip_with/aggregate fold here
+    * would evict the whole Project from whole-stage codegen); the SQL
+    * oracles inline the SAME literals (generated from this function), so
+    * there is exactly one source of truth and no cross-engine arithmetic.
+    * (Round-4 fix, twice over: the original (31·i + 17·j) % 2 reduces to
+    * parity of i+j — TWO distinct planes total — and a first replacement
+    * (bit 16 of a linear Knuth mix) still produced only 24 distinct planes
+    * of 48 at dim 64; the non-degeneracy test in OpsSpec now asserts the
+    * family property directly, and a full finalizer passes it.)
     */
   def hyperplane(dim: Int, j: Int): Array[Double] =
     Array.tabulate(dim) { i =>
-      if (((i.toLong * 2654435761L + j.toLong * 40503L + 2654435769L) >> 16 & 1L) == 0L) 1.0 else -1.0
+      var x = (j.toLong << 32) | i.toLong
+      x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+      x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+      x ^= (x >>> 31)
+      if ((x & 1L) == 0L) 1.0 else -1.0
     }
 
   /** Sign-hyperplane LSH bucket id for one hash table: bit j =

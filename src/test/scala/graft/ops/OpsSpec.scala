@@ -344,6 +344,20 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplane family is non-degenerate: distinct planes, no negation pairs, balanced") {
+    // the round-4 regression guard: (31i+17j)%2 collapsed every plane to one
+    // of TWO vectors or their negations — recall tests passed because giant
+    // buckets trivially contain the neighbors; assert the family property
+    // directly so a formula change fails here first
+    val planes = (0 until 48).map(j => Similarity.hyperplane(64, j).toSeq)
+    assert(planes.distinct.size == 48, s"only ${planes.distinct.size} distinct planes of 48")
+    val upToNegation = planes.map(p => Seq(p, p.map(-_)).minBy(_.mkString(","))).distinct
+    assert(upToNegation.size == 48, s"negation-duplicate planes: ${48 - upToNegation.size}")
+    planes.zipWithIndex.foreach { case (p, j) =>
+      assert(math.abs(p.sum) <= 24, s"plane $j imbalance ${p.sum}")
+    }
+  }
+
   test("lshTopK rejects a wrong declared dim at execution (no silent wrong-bucket hashing)") {
     import spark.implicits._
     val emb = (0L until 10L).map(i => (i, Array.fill(16)(1.0f))).toDF("vec_id", "embedding")
