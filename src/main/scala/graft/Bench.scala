@@ -121,6 +121,10 @@ object Bench {
 
     var pairs = 0
     var stalePairs = 0
+    // stop after SIX consecutive non-improving pairs (round 3 used four):
+    // the quiet-window run that stopped early at four left the hi level 12%
+    // above its cross-run minimum — the two levels converge at different
+    // rates, and extra pairs are cheap exactly when the box is quiet
     // OUTCOME-INDEPENDENT budget extension: a 1- or 2-sample "minimum" has
     // not converged (a burst BETWEEN the two probes still slips through;
     // only min-of-repeats converges, and the stabilization rule below
@@ -141,7 +145,7 @@ object Bench {
       }
       false
     }
-    while (pairs < maxRepeats && stalePairs < 4 && timeLeft()) {
+    while (pairs < maxRepeats && stalePairs < 6 && timeLeft()) {
       val prevLo = bestLo; val prevHi = bestHi
       // hi level FIRST: if the budget runs out mid-pair it is the hi sample
       // that is banked, so a gated pair needs only one later lo success (the
@@ -235,7 +239,7 @@ object Bench {
     // budgets (600 s + 420 s count-based extension) still converge to >=3
     // accepted samples per level.
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "500000").toLong
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "12").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "16").toInt
     val sr = kgScaling(4, 16, scaleDocs, repeats)
     val efficiency = (sr.tLo / sr.tHi) / 4.0
 
