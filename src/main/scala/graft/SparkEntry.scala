@@ -339,6 +339,17 @@ object SparkEntry {
       Multimodal.frameSampleFeatures(s, Multimodal.syntheticVideos(s, 200), every = 2).toDF()
     }),
 
+    // Audio content decode: 16-bit PCM samples of every valid WAV parsed
+    // from the RIFF data chunk; |sum| and peak are the quality-filter stats.
+    "q48_multimodal_audio" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.syntheticMedia(s, 1000)
+        .flatMap(m => Multimodal.decodeWavPcm(m.payload).map { case (n, sum, peak) =>
+          (m.media_id, n.toLong, sum, peak.toLong)
+        })
+        .toDF("media_id", "n_samples", "sum_abs", "peak")
+    }),
+
     "q28_canon_components" -> ((s, dir) => {
       val pairs = NearDup.jaccardPairs(t(s, dir, "documents"), 0.8)
         .select(col("d1").cast("string").as("src"), col("d2").cast("string").as("dst"))
@@ -1203,6 +1214,16 @@ object SparkEntry {
                 CAST(fr.w AS INTEGER) AS width, CAST(fr.h AS INTEGER) AS height,
                 CAST(ps.px AS BIGINT) AS pixel_sum
          FROM fr JOIN ps ON fr.i = ps.i AND fr.f = ps.f""",
+
+    // Audio replay: wav rows are i%3=2, non-corrupt; sample j of wav i is
+    // ((7i + 37j) mod 4096) - 2048 — sum/peak of |.| over 32 samples.
+    "q48_multimodal_audio" ->
+      """WITH w AS (SELECT i FROM generate_series(0,999) t(i) WHERE i%3=2 AND i%17<>0),
+         sm AS (SELECT w.i, abs(((7*w.i + 37*s.j) % 4096) - 2048) AS a
+                FROM w JOIN generate_series(0,31) s(j) ON true)
+         SELECT i AS media_id, CAST(count(*) AS BIGINT) AS n_samples,
+                CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS BIGINT) AS peak
+         FROM sm GROUP BY 1""",
 
     // F2 regex NER replayed in SQL: rebuild the derived body, take the first
     // 10 raw regex matches (duplicates count toward the cap), then distinct

@@ -218,11 +218,20 @@ object Multimodal {
       out.toByteArray ++ Array[Byte](0xff.toByte, 0xd9.toByte)
   }
 
-  /** WAV: RIFF/WAVE + fmt chunk (PCM, channels, sample rate) + data chunk. */
+  /** Closed-form 16-bit PCM sample i of wav `id`: ((7·id + 37·i) mod 4096)
+    * − 2048 — oracle-predictable without replaying a PRNG, still real
+    * little-endian int16 bytes on the wire.
+    */
+  def wavSample(id: Long, i: Int): Int = (((id * 7 + i * 37) % 4096).toInt) - 2048
+
+  /** WAV: RIFF/WAVE + fmt chunk (PCM, channels, sample rate) + data chunk of
+    * 32 closed-form int16 samples (64 bytes — byte totals unchanged).
+    */
   def wavBytes(id: Long, sampleRate: Int, channels: Int): Array[Byte] = {
     val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
       le32(sampleRate) ++ le32(sampleRate * channels * 2) ++ le16(channels * 2) ++ le16(16)
-    val data = "data".getBytes("US-ASCII") ++ le32(64) ++ body(id, 64)
+    val pcm = (0 until 32).flatMap(i => le16(wavSample(id, i) & 0xffff)).toArray
+    val data = "data".getBytes("US-ASCII") ++ le32(64) ++ pcm
     "RIFF".getBytes("US-ASCII") ++ le32(36 + 64) ++ "WAVE".getBytes("US-ASCII") ++ fmt ++ data
   }
 
@@ -450,6 +459,38 @@ object Multimodal {
       val ch = rdLe16(p, 22); val sr = rdLe32(p, 24)
       if (sr > 0 && ch > 0) Some((sr, ch)) else None
     }
+  }
+
+  /** WAV PCM content decode: walk RIFF chunks to the `data` chunk (not a
+    * fixed offset — extra chunks before it are handled), read 16-bit LE
+    * signed samples, return (n_samples, sum of |sample|, peak |sample|) —
+    * the rms/peak-style statistics an audio quality filter needs. Requires
+    * 16-bit PCM (fmt bits @34); anything else → None.
+    */
+  def decodeWavPcm(p: Array[Byte]): Option[(Int, Long, Int)] = {
+    try {
+      if (decodeWav(p).isEmpty) return None
+      if (rdLe16(p, 34) != 16) return None // bits per sample
+      var pos = 12
+      while (pos + 8 <= p.length) {
+        val size = rdLe32(p, pos + 4)
+        if (tag(p, pos, "data")) {
+          if (size < 0 || pos + 8 + size > p.length || size % 2 != 0) return None
+          var i = pos + 8
+          var n = 0; var sum = 0L; var peak = 0
+          while (i + 1 < pos + 8 + size) {
+            val v = (rdLe16(p, i) << 16) >> 16 // sign-extend int16
+            val a = math.abs(v)
+            sum += a; if (a > peak) peak = a; n += 1
+            i += 2
+          }
+          return Some((n, sum, peak))
+        }
+        if (size < 0) return None
+        pos += 8 + size + (size % 2) // RIFF chunks are word-aligned
+      }
+      None
+    } catch { case _: Exception => None }
   }
 
   /** Container sniffing + parse → (valid, width, height, sample_rate,

@@ -488,6 +488,20 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.sampleFrames(vid.take(vid.length - 10), 2).isEmpty)
   }
 
+  test("multimodal: WAV PCM decode recovers closed-form sample stats") {
+    val wav = Multimodal.wavBytes(9L, 16000, 2)
+    val Some((n, sum, peak)) = Multimodal.decodeWavPcm(wav)
+    assert(n == 32)
+    val vals = (0 until 32).map(i => Multimodal.wavSample(9L, i))
+    assert(vals.forall(v => v >= -2048 && v <= 2047))
+    assert(sum == vals.map(v => math.abs(v).toLong).sum)
+    assert(peak == vals.map(math.abs).max)
+    // header decode still agrees; non-wav and corrupt rejected
+    assert(Multimodal.decodeWav(wav) == Some((16000, 2)))
+    assert(Multimodal.decodeWavPcm(Multimodal.pngBytes(1L, 10, 10)).isEmpty)
+    assert(Multimodal.decodeWavPcm(wav.take(50)).isEmpty)
+  }
+
   test("multimodal: PNG pixel decode (inflate + unfilter) matches the generation formula") {
     // decode goes chunk walk → Inflater → unfilter; expected sum from formula
     for ((id, w, h) <- Seq((7L, 64, 48), (123L, 575, 303), (0L, 1, 1))) {
