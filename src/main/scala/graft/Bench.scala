@@ -128,18 +128,21 @@ object Bench {
     // OUTCOME-INDEPENDENT budget extension: a 1- or 2-sample "minimum" has
     // not converged (a burst BETWEEN the two probes still slips through;
     // only min-of-repeats converges, and the stabilization rule below
-    // demands >=3 accepted per level) — if fewer than 3 accepted samples
-    // per level landed when the base budget expires, extend once. The
-    // criterion is the accepted-sample COUNT per level, never the
-    // efficiency value, so optional stopping cannot bias the result.
-    // (Round-3 extended on count<2 and the driver artifact still landed at
-    // 1/1 accepted; the threshold now matches the convergence standard.)
+    // demands >=3 accepted per level) — while fewer than 3 accepted samples
+    // per level have landed when the budget expires, extend, up to
+    // `maxExtends` times (round 4 allowed ONE extension and the driver
+    // artifact still recorded 2/2 accepted on a stormy box; the repo's own
+    // standard is >=3/>=3, so the budget now extends until it is met or the
+    // extension cap trips). The criterion is the accepted-sample COUNT per
+    // level, never the efficiency value, so optional stopping cannot bias
+    // the result.
     val extendSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_EXTEND_SEC", "420").toLong
-    var extended = false
+    val maxExtends = sys.env.getOrElse("SPARK_GRAFT_SCALE_MAX_EXTENDS", "2").toInt
+    var extensions = 0
     def timeLeft(): Boolean = {
       if (System.nanoTime() < deadline) return true
-      if (!extended && math.min(acceptedLo, acceptedHi) < 3) {
-        extended = true
+      if (extensions < maxExtends && math.min(acceptedLo, acceptedHi) < 3) {
+        extensions += 1
         deadline = System.nanoTime() + extendSec * 1000000000L
         return true
       }

@@ -313,10 +313,21 @@ object SparkEntry {
     // reconstructs the hashed vectors, the bucket pruning INCLUDING the
     // cap, and the cosine arithmetic.
     "q44_embedding_neardup" -> ((s, dir) =>
-      Similarity.cosineNearDupPairs(
+      Similarity.cosineNearDupPairsScaled(
         Similarity.hashedEmbeddings(t(s, dir, "documents")), 0.95,
         planes = 12, tables = 4,
-        idCol = "doc_id", embCol = "emb", dim = 64, maxBucket = 512)),
+        idCol = "doc_id", embCol = "emb", dim = 64, maxBucket = 512).pairs),
+
+    // ...and the embedding family's no-silent-caps accounting (the q43
+    // analog): exactly the (table, bucket) groups a binding cap prunes,
+    // with their sizes. Cap 16 is BINDING on this corpus (the hashed-TF
+    // vectors cluster angularly, so several buckets exceed it) — the drop
+    // semantics themselves are driver-hash-checked.
+    "q49_embedding_dropped" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsScaled(
+        Similarity.hashedEmbeddings(t(s, dir, "documents")), 0.95,
+        planes = 12, tables = 4,
+        idCol = "doc_id", embCol = "emb", dim = 64, maxBucket = 16).droppedBuckets),
 
     "q27_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -1013,6 +1024,28 @@ object SparkEntry {
          sc AS (SELECT c.d1, c.d2, round(list_cosine_similarity(ea.emb, eb.emb), 6) AS cos_sim
                 FROM cand c JOIN emb ea ON ea.doc_id = c.d1 JOIN emb eb ON eb.doc_id = c.d2)
          SELECT d1, d2, cos_sim FROM sc WHERE cos_sim >= 0.95"""),
+
+    // The embedding family's drop accounting (q43 analog): same hashed-TF +
+    // hyperplane-bucket CTEs as q44, then every (table, bucket) group whose
+    // member count exceeds the binding cap (16), with its size.
+    "q49_embedding_dropped" ->
+      ("""WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '')) AS tok FROM documents),
+         bkt AS (SELECT doc_id,
+                  ((strpos('0123456789abcdef', substr(md5(tok),1,1))-1)*16 +
+                   (strpos('0123456789abcdef', substr(md5(tok),2,1))-1)) % 64 AS bucket
+                 FROM toks),
+         cnts AS (SELECT doc_id, bucket, count(*) AS cnt FROM bkt GROUP BY 1,2),
+         mm AS (SELECT doc_id, map_from_entries(list_transform(list_zip(list(bucket), list(cnt)), z -> {'k': z[1], 'v': z[2]})) AS mp
+               FROM cnts GROUP BY 1),
+         emb AS (SELECT doc_id, list_transform(generate_series(0,63), j -> CAST(coalesce(mp[j][1], 0) AS DOUBLE)) AS emb FROM mm),
+         pl AS (SELECT * FROM (VALUES """ + planeValuesSql(64, 12, 4) + """) AS v(t, j, vec)),
+         sv AS (SELECT e.doc_id, pl.t, pl.j,
+                 list_sum(list_transform(e.emb, (x, i) -> x * pl.vec[i])) AS s
+               FROM emb e CROSS JOIN pl),
+         bk AS (SELECT doc_id, t, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+                FROM sv GROUP BY 1, 2)
+         SELECT CAST(t AS BIGINT) AS t, bucket, CAST(count(*) AS BIGINT) AS bucket_size
+         FROM bk GROUP BY 1, 2 HAVING count(*) > 16"""),
 
     // The drop accounting q42 relies on: every (band, band_sig) bucket whose
     // member count exceeds the cap, with its size.

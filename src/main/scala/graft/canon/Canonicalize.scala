@@ -107,7 +107,12 @@ object Canonicalize {
         .distinct()
       val (next, nextIds) = checkpointTracked(ss)
       val fp = fingerprint(next)
-      converged = fp == prevFp
+      // fingerprint equality is necessary-but-probabilistic (a ~2⁻⁶⁴ XOR
+      // collision would otherwise silently freeze WRONG labels); confirm
+      // with an exact set comparison — counts are already equal inside the
+      // fingerprint, so one-direction except suffices, and it runs only on
+      // fingerprint-equal rounds (normally exactly once, at convergence)
+      converged = fp == prevFp && next.except(cur).isEmpty
       prevFp = fp
       free(curIds)
       cur = next

@@ -42,8 +42,15 @@ final class ParquetTableIO(warehouse: String) extends TableIO {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(table))
   }
 
+  // mergeSchema: table schemas have grown across versions (round 4 added
+  // temporal_index/temporal_category to nodes/edges), and resume=true into a
+  // directory written by an older binary leaves mixed-schema files — plain
+  // parquet reads sample ONE footer, so the new columns could silently
+  // vanish (or appear) depending on which file wins. Merging footers pins
+  // the union schema; older files surface the new columns as null. At
+  // catalog scale Iceberg's own schema evolution replaces this option.
   override def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(path(table))
+    spark.read.option("mergeSchema", "true").parquet(path(table))
 
   override def exists(table: String): Boolean =
     new java.io.File(path(table)).exists()

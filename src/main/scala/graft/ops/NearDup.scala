@@ -200,7 +200,8 @@ object NearDup {
   /** Scale-entrypoint result: verified pairs plus the ACCOUNTED drops (no
     * silent caps — every pruned bucket is visible with its size).
     */
-  final case class ScaledNearDup(pairs: DataFrame, droppedBuckets: DataFrame) {
+  final case class ScaledNearDup(pairs: DataFrame, droppedBuckets: DataFrame,
+                                 label: String = "lshVerifiedPairsScaled") {
     /** Materializes the (tiny) overflow summary, WARN-logs it when nonempty,
       * and returns (droppedBucketCount, largestBucketSize).
       */
@@ -211,7 +212,7 @@ object NearDup {
       val (nb, mx) = (row.getLong(0), row.getLong(1))
       if (nb > 0)
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"lshVerifiedPairsScaled pruned $nb over-cap LSH buckets (largest $mx members); " +
+          s"$label pruned $nb over-cap LSH buckets (largest $mx members); " +
             "pairs within them were NOT emitted — run exact dedup first or raise maxBucket")
       (nb, mx)
     }

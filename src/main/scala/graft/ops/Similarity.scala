@@ -277,7 +277,40 @@ object Similarity {
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
                          planes: Int = 6, tables: Int = 4,
                          idCol: String = "vec_id", embCol: String = "embedding",
-                         dim: Int = -1, maxBucket: Int = Int.MaxValue): DataFrame = {
+                         dim: Int = -1, maxBucket: Int = Int.MaxValue): DataFrame =
+    cosineNearDupPairsScaled(embeddings, threshold, planes, tables, idCol, embCol,
+      dim, maxBucket).pairs
+
+  /** Over-cap (table, bucket) groups the guardrail prunes — one cheap COUNT
+    * aggregation (map-side partial, member lists never collected), the
+    * embedding-family analog of `NearDup.lshOverflowBuckets`. Output:
+    * (t, bucket, bucket_size) with bucket_size > maxBucket.
+    */
+  def cosineOverflowBuckets(bucketRows: DataFrame, maxBucket: Int): DataFrame =
+    bucketRows.groupBy(col("bucket.t").cast("long").as("t"), col("bucket.b").as("bucket"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
+
+  /** The ACCOUNTED form of `cosineNearDupPairs` (the no-silent-caps contract
+    * the text families already honor): `.pairs` is identical to
+    * `cosineNearDupPairs` at the same cap, and `.droppedBuckets` lists every
+    * pruned (t, bucket, bucket_size) so over-cap clusters are visible —
+    * `.logDrops()` WARN-logs the summary. As with the text entrypoint, a
+    * bucket of N near-identical vectors yields N²/2 pairs under ANY
+    * algorithm; the right fix for overflow is exact dedup first, and this
+    * entry makes that failure loud. Both frames share one checkpointed
+    * embedding scan and (when capped) one checkpointed bucket table.
+    *
+    * Dim contract enforced IN the plan (same raise_error as lshTopK): a
+    * vector whose length disagrees with the hyperplane length would silently
+    * hash into wrong buckets — losing candidate RECALL with no symptom (the
+    * exact-cosine verify prevents false positives but not misses); fail the
+    * job instead.
+    */
+  def cosineNearDupPairsScaled(embeddings: DataFrame, threshold: Double,
+                               planes: Int = 6, tables: Int = 4,
+                               idCol: String = "vec_id", embCol: String = "embedding",
+                               dim: Int = -1, maxBucket: Int = Int.MaxValue): NearDup.ScaledNearDup = {
     val mat = embeddings
       .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
       .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
@@ -286,21 +319,32 @@ object Similarity {
       if (dim > 0) dim
       else mat.select(size(col("nemb"))).head(1).headOption.map(_.getInt(0)).getOrElse(0)
     if (dimension <= 0)
-      return mat.limit(0).select(col("nid").as("d1"), col("nid").as("d2"), lit(0.0).as("cos_sim"))
+      return NearDup.ScaledNearDup(
+        pairs = mat.limit(0).select(col("nid").as("d1"), col("nid").as("d2"), lit(0.0).as("cos_sim")),
+        droppedBuckets = mat.limit(0).select(lit(0L).as("t"), lit(0L).as("bucket"),
+          lit(0L).as("bucket_size")),
+        label = "cosineNearDupPairsScaled")
+    val checked = mat.withColumn("nemb",
+      when(size(col("nemb")) === dimension, col("nemb"))
+        .otherwise(raise_error(concat(
+          lit(s"cosineNearDupPairs: embedding dim != $dimension, got "),
+          size(col("nemb")).cast("string")))))
     val bucketCols = (0 until tables).map(t =>
       struct(lit(t).as("t"), lshBucket(col("nemb"), dimension, planes, t).as("b")).as(s"bk$t"))
-    val bucketRows = mat.select(col("nid"), explode(array(bucketCols: _*)).as("bucket"))
+    val bucketRows = checked.select(col("nid"), explode(array(bucketCols: _*)).as("bucket"))
     // same cap discipline as NearDup.lshCandidates: when the guardrail is
     // set, a cheap COUNT + semi-join prunes mega-buckets BEFORE any member
-    // list is collected
-    val pruned =
-      if (maxBucket == Int.MaxValue) bucketRows
+    // list is collected — and the SAME checkpointed bucket table feeds the
+    // drop accounting, so pairs and droppedBuckets always agree
+    val (pruned, dropped) =
+      if (maxBucket == Int.MaxValue)
+        (bucketRows, cosineOverflowBuckets(bucketRows.limit(0), maxBucket))
       else {
         val rows = bucketRows.localCheckpoint()
         val keep = rows.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
           .where(col("bn") > 1 && col("bn") <= maxBucket)
           .select(col("bucket"))
-        rows.join(keep, Seq("bucket"), "left_semi")
+        (rows.join(keep, Seq("bucket"), "left_semi"), cosineOverflowBuckets(rows, maxBucket))
       }
     val cand = pruned
       .groupBy(col("bucket"))
@@ -311,11 +355,12 @@ object Similarity {
           y => struct(x.as("d1"), y.as("d2")))))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
-    cand
+    val pairs = cand
       .join(mat.select(col("nid").as("d1"), col("nemb").as("e1"), col("nnorm").as("m1")), Seq("d1"))
       .join(mat.select(col("nid").as("d2"), col("nemb").as("e2"), col("nnorm").as("m2")), Seq("d2"))
       .select(col("d1"), col("d2"), round(dot(col("e1"), col("e2")) / (col("m1") * col("m2")), 6).as("cos_sim"))
       .where(col("cos_sim") >= threshold)
+    NearDup.ScaledNearDup(pairs, dropped, label = "cosineNearDupPairsScaled")
   }
 
   /** @param dim embedding dimensionality (hyperplanes are literal arrays of

@@ -76,10 +76,12 @@ object DataScaleProbe {
       println(s"n=$n lsh_verified drops: ${scaled.logDrops()}")
       record("simhash_neardup")(NearDup.simhashNearDupPairs(
         canonical, maxHamming = 4, maxBucket = 64).count())
-      record("embedding_neardup")(graft.ops.Similarity.cosineNearDupPairs(
+      val embScaled = graft.ops.Similarity.cosineNearDupPairsScaled(
         graft.ops.Similarity.hashedEmbeddings(canonical), 0.95,
         planes = 12, tables = 4, idCol = "doc_id", embCol = "emb",
-        dim = 64, maxBucket = 512).count())
+        dim = 64, maxBucket = 512)
+      record("embedding_neardup")(embScaled.pairs.count())
+      println(s"n=$n embedding_neardup drops: ${embScaled.logDrops()}")
       record("kg_triples")(Pipeline.docGraphs(spark,
         Corpus.pages(spark, n, partitions = 128))
         .flatMap(g => GraphBuild.triples(g)).count())

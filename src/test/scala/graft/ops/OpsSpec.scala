@@ -312,6 +312,55 @@ class OpsSpec extends SparkSpec {
     assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L), s"unrelated doc paired: $pairs")
   }
 
+  test("cosineNearDupPairsScaled: guardrail prunes mega-buckets, drops are accounted") {
+    import spark.implicits._
+    // 12 identical docs → 12 bit-identical vectors → every table's bucket
+    // holds the whole cluster; plus one honest near-dup pair and a loner
+    val mega = (0L until 12L).map(i => (i, "the quick brown fox jumps over the lazy sleeping dog tonight"))
+    val pair = Seq(
+      (100L, "spark writes shuffle files to local disk before the reduce stage begins now"),
+      (101L, "spark writes shuffle files to local disk before the reduce stage begins today"))
+    val loner = Seq((200L, "entirely unrelated text about knowledge graphs and entity canonicalization rules"))
+    val emb = Similarity.hashedEmbeddings((mega ++ pair ++ loner).toDF("doc_id", "text"))
+    val scaled = Similarity.cosineNearDupPairsScaled(emb, 0.9,
+      idCol = "doc_id", embCol = "emb", dim = 64, maxBucket = 8)
+    val pairs = scaled.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the mega-cluster's 66 pairs are pruned; the honest near-dup pair survives
+    assert(pairs == Set((100L, 101L)), s"got $pairs")
+    val droppedSizes = scaled.droppedBuckets.collect().map(_.getLong(2))
+    // the identical cluster lands whole in exactly one bucket per table —
+    // each dropped bucket holds the 12 cluster members (plus possibly the
+    // pair docs / loner if they hash alongside)
+    assert(droppedSizes.nonEmpty && droppedSizes.forall(_ >= 12L), s"dropped sizes ${droppedSizes.toSeq}")
+    val (nb, mx) = scaled.logDrops()
+    assert(nb == droppedSizes.length.toLong && mx == droppedSizes.max)
+    // .pairs at the same cap ≡ the plain capped entrypoint
+    val plain = Similarity.cosineNearDupPairs(emb, 0.9,
+      idCol = "doc_id", embCol = "emb", dim = 64, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == pairs)
+    // uncapped form on the same corpus DOES emit the quadratic mass, with
+    // empty accounting
+    val unlimited = Similarity.cosineNearDupPairsScaled(emb, 0.9,
+      idCol = "doc_id", embCol = "emb", dim = 64)
+    assert(unlimited.pairs.count() == 66L + 1L)
+    assert(unlimited.logDrops() == ((0L, 0L)) && unlimited.droppedBuckets.isEmpty)
+  }
+
+  test("cosineNearDupPairs fails loudly on an embedding-dimension mismatch") {
+    import spark.implicits._
+    val bad = Seq(
+      (1L, Array.fill(64)(1.0)),
+      (2L, Array.fill(63)(1.0))) // wrong length → would silently mis-bucket
+      .toDF("doc_id", "emb")
+    val ex = intercept[Exception] {
+      Similarity.cosineNearDupPairs(bad, 0.9, idCol = "doc_id", embCol = "emb", dim = 64).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("embedding dim != 64")), s"got $ex")
+  }
+
   test("cosineNearDupPairs has no false positives vs driver-side brute force (seeded loop)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260817L)
