@@ -594,6 +594,14 @@ object SparkEntry {
       s"($t, $j, [" + graft.ops.Similarity.hyperplane(dim, t * planes + j)
         .map(v => if (v > 0) "1.0" else "-1.0").mkString(",") + "])").mkString(", ")
 
+  /** Fixed-point IDCT constants for the q27 JPEG replay — generated from
+    * Multimodal.idctK itself (one source of truth, like planeValuesSql).
+    * idctK0 = K(0,·) (constant 2896); idctK1Sql = the K(1,x) list literal.
+    */
+  private def idctK0: Long = graft.ops.Multimodal.idctK(0, 0)
+  private def idctK1Sql: String =
+    (0 until 8).map(x => graft.ops.Multimodal.idctK(1, x)).mkString("[", ",", "]")
+
   private def simhashOracleCtes: String = {
     val split = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
     def bit(j: Int) =
@@ -1175,18 +1183,24 @@ object SparkEntry {
     // The oracle knows only the GENERATION parameters (id → kind/dims/rate/
     // pixel formulas); the engine side recovers them by parsing the real
     // container bytes — PNG through zlib inflate + scanline unfilter, JPEG
-    // through a real Huffman entropy decode — so this checks the byte-level
-    // decoders, not a tautology. png bytes: 57 header/chunk overhead + zlib
-    // stored stream (raw + 6 + 5·ceil(raw/65535)), raw = h·(3w+1); png
-    // pixel_sum: every channel of (x,y) is (i+x+y)%256, summed over
-    // antidiagonals s = x+y (trapezoid count least(s, w-1, h-1, w+h-2-s)+1)
-    // to avoid a w×h blowup. jpeg (baseline DC-only grayscale, constant
-    // gray g = 128+8·(i%16)): bytes = 169 header + ceil((5·nblocks + t)/8)
-    // entropy where nblocks = ceil(w/8)·ceil(h/8) and t = bitlen(8·(g−128))
-    // = CASE i%16 … (DC category of the first block; all later blocks are
-    // category-0+EOB = 5 bits each); pixel_sum = w·h·g.
+    // through a real Huffman entropy decode + fixed-point IDCT — so this
+    // checks the byte-level decoders, not a tautology. png bytes: 57
+    // header/chunk overhead + zlib stored stream (raw + 6 + 5·ceil(raw/
+    // 65535)), raw = h·(3w+1); png pixel_sum: every channel of (x,y) is
+    // (i+x+y)%256, summed over antidiagonals s = x+y (trapezoid count
+    // least(s, w-1, h-1, w+h-2-s)+1) to avoid a w×h blowup. jpeg (baseline
+    // grayscale, dc = 64·(i%16), AC ripples a1 = 3·((i%5)−2) at zigzag 1
+    // and a2 = 2·((i%7)−3) at zigzag 2, identical in every block): bytes =
+    // 175 header + ceil((nblocks·(4+acbits) + t)/8) where t =
+    // bitlen(dc) = 6+floor(log2(i%16))+1 (first block's DC magnitude bits)
+    // and acbits = 3 (EOB) + per-ripple (3 + size); pixel_sum replays the
+    // fixed-point IDCT — only v∈{0,1},u∈{0,1} basis cells are active, so
+    // pixel(y,x) = clamp(floor((K0·(K0·dc + K1[x]·a1) + K0·K1[y]·a2 +
+    // 2²⁵)/2²⁶) + 128) with the K literals generated from the engine's
+    // idctK, weighted by how many blocks show column x / row y (w//8 + edge
+    // remainder) — an 8×8 grid per image instead of a w×h blowup.
     "q27_multimodal_features" ->
-      """WITH f AS (SELECT i,
+      (s"""WITH f AS (SELECT i,
            CASE WHEN i%3=0 THEN 'png' WHEN i%3=1 THEN 'jpg' ELSE 'wav' END AS kind,
            (i%17=0) AS corrupt,
            64+(i%512) AS w, 48+(i%256) AS h, 8000+(i%8)*4000 AS sr
@@ -1196,13 +1210,26 @@ object SparkEntry {
          psum AS (SELECT p.i,
                     3*sum((least(s.s, p.w-1, p.h-1, p.w+p.h-2-s.s)+1) * ((p.i + s.s) % 256)) AS px
                   FROM praw p JOIN generate_series(0, 876) s(s) ON s.s <= p.w+p.h-2
-                  GROUP BY 1)
+                  GROUP BY 1),
+         jp AS (SELECT i, w, h, 64*(i%16) AS dc, 3*((i%5)-2) AS a1, 2*((i%7)-3) AS a2
+                FROM f WHERE kind='jpg' AND NOT corrupt),
+         jpx AS (SELECT jp.i,
+                   sum((jp.w//8 + CASE WHEN xx.x < jp.w%8 THEN 1 ELSE 0 END)
+                     * (jp.h//8 + CASE WHEN yy.y < jp.h%8 THEN 1 ELSE 0 END)
+                     * greatest(0, least(255, 128 + CAST(floor(
+                         ($idctK0*($idctK0*jp.dc + ($idctK1Sql)[xx.x+1]*jp.a1)
+                          + $idctK0*($idctK1Sql)[yy.y+1]*jp.a2 + 33554432) / 67108864.0) AS BIGINT)))) AS px
+                 FROM jp JOIN generate_series(0,7) xx(x) ON true
+                         JOIN generate_series(0,7) yy(y) ON true
+                 GROUP BY 1)
          SELECT kind, count(*) AS n,
            CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
            CAST(sum(CASE WHEN corrupt THEN 3
                 WHEN kind='png' THEN pb.nb
-                WHEN kind='jpg' THEN 169 + CAST(ceil((
-                  5*(CAST(ceil(w/8.0) AS BIGINT)*CAST(ceil(h/8.0) AS BIGINT))
+                WHEN kind='jpg' THEN 175 + CAST(ceil((
+                  (CAST(ceil(w/8.0) AS BIGINT)*CAST(ceil(h/8.0) AS BIGINT))
+                  * (7 + CASE abs(3*((f.i%5)-2)) WHEN 0 THEN 0 WHEN 3 THEN 5 ELSE 6 END
+                       + CASE abs(2*((f.i%7)-3)) WHEN 0 THEN 0 WHEN 2 THEN 5 ELSE 6 END)
                   + CASE WHEN f.i%16=0 THEN 0
                          ELSE 6 + CAST(floor(log2(f.i%16)) AS BIGINT) + 1 END
                 )/8.0) AS BIGINT)
@@ -1212,10 +1239,11 @@ object SparkEntry {
            CAST(max(CASE WHEN corrupt THEN 0 WHEN kind='wav' THEN sr ELSE 0 END) AS BIGINT) AS max_sample_rate,
            CAST(sum(CASE WHEN corrupt THEN 0
                 WHEN kind='png' THEN ps.px
-                WHEN kind='jpg' THEN CAST(w AS BIGINT)*h*(128 + 8*(f.i%16))
+                WHEN kind='jpg' THEN jx.px
                 ELSE 0 END) AS BIGINT) AS total_pixel_sum
          FROM f LEFT JOIN pbytes pb ON f.i = pb.i LEFT JOIN psum ps ON f.i = ps.i
-         GROUP BY 1""",
+                LEFT JOIN jpx jx ON f.i = jx.i
+         GROUP BY 1"""),
 
     // Resize replay: resized dims = floor(w/2), floor(h/2); resized pixel
     // (x, y) samples source (2x, 2y) whose channel value is (i+2x+2y)%256 —

@@ -11,14 +11,14 @@ import org.apache.spark.sql.functions._
   *
   * The decode step is REAL byte parsing (no external libraries needed):
   * PNG IHDR + full pixel decode (chunk walk → java.util.zip.Inflater →
-  * scanline unfilter, all 5 spec filter types), baseline JPEG with a real
-  * Huffman entropy decode (DQT/DHT/SOF0/SOS parse, canonical code rebuild,
-  * DC category + magnitude + AC run/size loop — the DC-only grayscale
-  * subset reconstructs pixels; general AC would add only the IDCT math),
-  * and WAV RIFF/fmt headers. The synthetic generator emits genuine
-  * containers (valid PNGs with real CRCs and zlib IDAT; entropy-coded
-  * baseline JPEGs; RIFF WAVs), so the parsers are exercised against real
-  * byte layouts; corrupt payloads cover the error path.
+  * scanline unfilter, all 5 spec filter types), baseline grayscale JPEG
+  * with a real Huffman entropy decode (DQT/DHT/SOF0/SOS parse, canonical
+  * code rebuild, DC category + magnitude, full AC run/size loop) followed
+  * by dequantization and a fixed-point integer 8×8 IDCT to pixels, and WAV
+  * RIFF/fmt headers. The synthetic generator emits genuine containers
+  * (valid PNGs with real CRCs and zlib IDAT; entropy-coded baseline JPEGs
+  * with nonzero AC coefficients; RIFF WAVs), so the parsers are exercised
+  * against real byte layouts; corrupt payloads cover the error path.
   */
 object Multimodal {
 
@@ -32,7 +32,8 @@ object Multimodal {
   // Deterministic synthetic payloads with REAL container layouts. Byte
   // lengths are closed-form per kind so totals are oracle-predictable:
   //   png 57 + zlen(w,h) bytes (real zlib IDAT, see pngBytes),
-  //   jpeg 169 + ceil((5·nblocks + t)/8) (entropy-coded, see jpegBytes),
+  //   jpeg 175 + ceil((nblocks·(4+acbits) + t)/8) (entropy-coded, see
+  //     jpegBytes),
   //   wav 108 (corrupt rows are 3).
 
   private def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -128,12 +129,82 @@ object Multimodal {
       pngChunk("IEND", Array.empty[Byte])
   }
 
-  /** Per-image JPEG gray value: constant across the image, 128 + 8·(id%16)
-    * — keeps the DC coefficient non-negative and the entropy-stream length
-    * closed-form (see jpegBytes) so the oracle predicts byte totals AND
-    * pixel sums without decoding.
+  /** Per-image JPEG gray value (the DC level): 128 + 8·(id%16) — keeps the
+    * DC coefficient non-negative and the entropy-stream length closed-form
+    * (see jpegBytes) so the oracle predicts byte totals AND pixel sums
+    * without decoding.
     */
   def jpegGray(id: Long): Int = 128 + ((id % 16).toInt * 8)
+
+  /** Per-image AC coefficients (same in every block): a horizontal ripple at
+    * zigzag 1 (v=0,u=1) and a vertical ripple at zigzag 2 (v=1,u=0).
+    * Amplitudes ±{0,3,6} / ±{0,2,4,6} are big enough that the fixed-point
+    * IDCT (~0.17 px per coefficient unit at the strongest basis position)
+    * moves decoded pixel values — a decoder that IGNORED AC would return
+    * wrong sums, so the q27 oracle genuinely checks the AC/IDCT path.
+    */
+  def jpegAc1(id: Long): Int = 3 * ((id % 5).toInt - 2)
+  def jpegAc2(id: Long): Int = 2 * ((id % 7).toInt - 3)
+
+  // ------------------------------------------------- fixed-point IDCT spec
+
+  /** IDCT basis constant K(u,x) = round(Cu·cos((2x+1)·u·π/16)·4096) with
+    * Cu = 1/√2 for u=0 else 1. The decode IDCT is EXACT integer arithmetic
+    * over these constants (separability without intermediate rounding keeps
+    * it equal to the direct double-sum definition), which is what makes
+    * decoded pixels engine-portable: the q27 oracle inlines THESE constants
+    * (generated from this function — one source of truth) and replays
+    * pixels in integer SQL. Real codecs use fixed-point integer IDCTs
+    * (libjpeg jidctint) for exactly this determinism.
+    */
+  def idctK(u: Int, x: Int): Long = {
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    Math.round(cu * math.cos((2 * x + 1) * u * math.Pi / 16.0) * 4096.0)
+  }
+  private val idctKTab: Array[Array[Long]] = Array.tabulate(8, 8)((u, x) => idctK(u, x))
+
+  /** JPEG zigzag scan order: zigzag index k → natural index v·8+u. */
+  val zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** 8×8 inverse DCT of a DEQUANTIZED coefficient block (natural order
+    * S[v·8+u]) to pixel values: pixel(y,x) = clamp(floorDiv(Σ_{u,v}
+    * S·K(u,x)·K(v,y) + 2²⁵, 2²⁶) + 128, 0, 255) — the direct IDCT
+    * definition f(y,x) = ¼·ΣΣ·Cu·Cv·S·cos·cos at scale 4·4096² = 2²⁶,
+    * rounded once. Computed separably (row pass then column pass) with NO
+    * intermediate rounding, so the result is bit-identical to the direct
+    * sum; all intermediates fit comfortably in Long.
+    */
+  def idctPixels(coef: Array[Long]): Array[Int] = {
+    val tmp = Array.ofDim[Long](8, 8) // tmp(v)(x) = Σ_u S(v,u)·K(u,x)
+    var v = 0
+    while (v < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0L; var u = 0
+        while (u < 8) { s += coef(v * 8 + u) * idctKTab(u)(x); u += 1 }
+        tmp(v)(x) = s; x += 1
+      }
+      v += 1
+    }
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0L; var vv = 0
+        while (vv < 8) { s += tmp(vv)(x) * idctKTab(vv)(y); vv += 1 }
+        val p = Math.floorDiv(s + (1L << 25), 1L << 26).toInt + 128
+        out(y * 8 + x) = math.max(0, math.min(255, p))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   /** Canonical Huffman assignment from a DHT-style (bits, huffval) pair:
     * symbol → (codeLen, code). Shared by the encoder and the decoder, which
@@ -155,21 +226,27 @@ object Multimodal {
   // Minimal custom tables (NOT the bulky Annex-K defaults — any canonical
   // table is legal; the decoder builds codes generically from the DHT):
   //   DC: all 12 categories at code length 4 (0000..1011)
-  //   AC: the single EOB symbol 0x00 at code length 1 ('0')
+  //   AC: EOB + run∈{0,1}×size∈{1..3} at code length 3 ('000'..'110' —
+  //       the all-ones 3-bit code stays unassigned, so 1-padding can never
+  //       alias a symbol)
   private val jpegDcBits = Array(0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
   private val jpegDcVals = (0 to 11).toArray
-  private val jpegAcBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
-  private val jpegAcVals = Array(0)
+  private val jpegAcBits = Array(0, 0, 7, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val jpegAcVals = Array(0x00, 0x01, 0x02, 0x03, 0x11, 0x12, 0x13)
 
-  /** A REAL baseline JPEG (grayscale, DC-only): SOI + APP0/JFIF + DQT (all
-    * 1s) + SOF0 + two DHT segments + SOS + Huffman-entropy-coded MCU data +
-    * EOI. Every 8×8 block holds the constant `jpegGray(id)`, so AC
-    * coefficients are all zero and the stream is: first block = DC category
-    * code (4 bits) + category magnitude bits + EOB (1 bit); every later
-    * block = category-0 code + EOB (5 zero bits). Total bytes are
-    * closed-form: 169 header + ceil((5·nblocks + t)/8) entropy where
-    * t = bitlen(8·(gray−128)) — the q27 oracle reconstructs this exactly.
-    * The APP0 before SOF still forces dimension parsers to walk the chain.
+  /** A REAL baseline JPEG (grayscale): SOI + APP0/JFIF + DQT (all 1s) +
+    * SOF0 + two DHT segments + SOS + Huffman-entropy-coded MCU data + EOI.
+    * Every 8×8 block carries the same dequantized coefficients: DC =
+    * 8·(gray−128) plus AC ripples `jpegAc1` at zigzag 1 and `jpegAc2` at
+    * zigzag 2 (run/size-coded, runs of 0 or 1), so the decoder's Huffman +
+    * zigzag + dequant + IDCT path is exercised by real entropy bytes while
+    * byte totals stay closed-form: 175 header + ceil((nblocks·(4+acbits) +
+    * t)/8) entropy, where t = bitlen(8·(gray−128)) (the first block's DC
+    * magnitude bits; later blocks emit category-0 in 4 bits) and acbits =
+    * 3 (EOB) + (a1≠0: 3+size(a1)) + (a2≠0: 3+size(a2)) — the q27 oracle
+    * reconstructs this exactly. No byte ever needs FF00 stuffing (the
+    * assembled bit patterns cap runs of ones below 8, asserted below), and
+    * the APP0 before SOF still forces dimension parsers to walk the chain.
     */
   def jpegBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
@@ -185,21 +262,28 @@ object Multimodal {
       Array[Byte](1, 1, 0x00, 0, 63, 0)
 
     val dcCodes = canonicalCodes(jpegDcBits, jpegDcVals)
+    val acCodes = canonicalCodes(jpegAcBits, jpegAcVals)
     val out = new java.io.ByteArrayOutputStream()
     var acc = 0; var nbits = 0
+    var stuffed = false
     def put(code: Int, len: Int): Unit = {
       acc = (acc << len) | (code & ((1 << len) - 1)); nbits += len
       while (nbits >= 8) {
         val b = (acc >>> (nbits - 8)) & 0xff
         out.write(b)
-        if (b == 0xff) out.write(0x00) // byte stuffing (never triggers for
-        // generated ids — the closed-form byte count relies on that, and the
-        // oracle fails loudly if a generator change ever breaks it)
+        if (b == 0xff) { out.write(0x00); stuffed = true } // byte stuffing
         nbits -= 8
       }
     }
+    def putMag(v: Int, s: Int): Unit = put(if (v >= 0) v else v + (1 << s) - 1, s)
     val gray = jpegGray(id)
     val dc = 8 * (gray - 128) // FDCT of a constant (level-shifted) block
+    val a1 = jpegAc1(id); val a2 = jpegAc2(id)
+    def putAc(run: Int, v: Int): Unit = {
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+      val (cl, cc) = acCodes((run << 4) | s)
+      put(cc, cl); putMag(v, s)
+    }
     val nbx = (w + 7) / 8; val nby = (h + 7) / 8
     var prev = 0
     var bi = 0
@@ -208,11 +292,19 @@ object Multimodal {
       val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // category
       val (cl, cc) = dcCodes(t)
       put(cc, cl)
-      if (t > 0) put(if (diff >= 0) diff else diff + (1 << t) - 1, t)
-      put(0, 1) // AC EOB ('0' in our 1-entry table)
+      if (t > 0) putMag(diff, t)
+      if (a1 != 0 && a2 != 0) { putAc(0, a1); putAc(0, a2) }
+      else if (a1 != 0) putAc(0, a1)
+      else if (a2 != 0) putAc(1, a2) // one zero (the absent a1) to skip
+      val (el, ec) = acCodes(0x00)
+      put(ec, el) // EOB
       bi += 1
     }
     if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    // closed-form byte totals (and the q27 oracle) depend on an unstuffed
+    // stream; the generated bit patterns guarantee it — fail loudly if a
+    // generator change ever breaks that
+    require(!stuffed, s"jpegBytes: FF byte in entropy stream for id=$id — byte totals no longer closed-form")
     Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ sof0 ++
       dht(0, jpegDcBits, jpegDcVals) ++ dht(1, jpegAcBits, jpegAcVals) ++ sos ++
       out.toByteArray ++ Array[Byte](0xff.toByte, 0xd9.toByte)
@@ -328,15 +420,18 @@ object Multimodal {
     None
   }
 
-  /** Baseline JPEG pixel decode for the DC-only grayscale subset: parses
-    * DQT, DHT (canonical code rebuild — works for ANY table, incl. Annex K),
-    * SOF0 (requires one 8-bit component, 1×1 sampling, no restart markers),
+  /** Baseline JPEG pixel decode (grayscale): parses DQT, DHT (canonical
+    * code rebuild — works for ANY table, incl. Annex K), SOF0 (requires one
+    * 8-bit component, 1×1 sampling, quant table 0, no restart markers),
     * SOS, then a real Huffman entropy decode of every MCU — DC category +
-    * magnitude bits (with the spec's negative extension), AC run/size loop
-    * to EOB. Blocks with any nonzero AC coefficient are outside the
-    * supported subset → None (a full IDCT needs no new parsing, only the
-    * coefficient math; this decodes everything the generator emits).
-    * Returns the sum of reconstructed pixel values over the w×h crop.
+    * magnitude bits (with the spec's negative extension) and the full AC
+    * run/size loop (ZRL, arbitrary runs, EOB) into a zigzag-ordered
+    * coefficient block — followed by dequantization and the fixed-point
+    * integer IDCT (`idctPixels`). Returns the sum of reconstructed pixel
+    * values over the w×h crop (partial edge blocks summed over their
+    * visible region only). Consecutive identical coefficient blocks reuse
+    * the previous IDCT output (pure-function memoization — flat regions
+    * dominate real images and the synthetic corpus).
     */
   def decodeJpegPixels(p: Array[Byte]): Option[Long] = {
     try {
@@ -377,6 +472,8 @@ object Multimodal {
             h = rdBe16(p, pos + 5); w = rdBe16(p, pos + 7)
             if ((p(pos + 9) & 0xff) != 1) return None       // 1 component
             if ((p(pos + 11) & 0xff) != 0x11) return None   // 1×1 sampling
+            if ((p(pos + 12) & 0xff) != 0) return None      // Tq=0 — a legal
+            // JPEG selecting DQT table 1 must NOT be dequantized with table 0
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // non-baseline frame types unsupported
           case 0xdd => return None // DRI/restart markers unsupported
@@ -423,12 +520,16 @@ object Multimodal {
       val nbx = (w + 7) / 8; val nby = (h + 7) / 8
       var dc = 0
       var sum = 0L
+      var prevCoef: Array[Long] = null
+      var prevGrid: Array[Int] = null
       var by = 0
       while (by < nby) {
         var bx = 0
         while (bx < nbx) {
           val t = decodeSym(dcTab)
           dc += extend(readBits(t), t)
+          val coef = new Array[Long](64)
+          coef(0) = dc.toLong * q0(0)
           var k = 1
           var eob = false
           while (k <= 63 && !eob) {
@@ -436,14 +537,26 @@ object Multimodal {
             if (sym == 0) eob = true
             else {
               val run = (sym >> 4) & 0xf; val size = sym & 0xf
-              if (size == 0) { if (run == 15) k += 16 else return None }
-              else return None // nonzero AC: outside the DC-only subset
+              if (size == 0) {
+                if (run == 15) k += 16 else return None // only ZRL has size 0
+              } else {
+                k += run
+                if (k > 63) return None
+                coef(zigzag(k)) = extend(readBits(size), size).toLong * q0(k)
+                k += 1
+              }
             }
           }
-          // IDCT of a DC-only block is flat: value = dequantized DC / 8 + 128
-          val v = math.max(0, math.min(255, Math.round(dc.toDouble * q0(0) / 8.0).toInt + 128))
+          val grid =
+            if (prevCoef != null && java.util.Arrays.equals(coef, prevCoef)) prevGrid
+            else { val g = idctPixels(coef); prevCoef = coef; prevGrid = g; g }
           val visW = math.min(8, w - bx * 8); val visH = math.min(8, h - by * 8)
-          sum += v.toLong * visW * visH
+          var yy = 0
+          while (yy < visH) {
+            var xx = 0
+            while (xx < visW) { sum += grid(yy * 8 + xx); xx += 1 }
+            yy += 1
+          }
           bx += 1
         }
         by += 1
@@ -495,10 +608,9 @@ object Multimodal {
 
   /** Container sniffing + parse → (valid, width, height, sample_rate,
     * channels, pixel_sum). pixel_sum is the inflate+unfilter statistic for
-    * PNGs and the Huffman-entropy-decode statistic for baseline DC-only
-    * JPEGs (0 when the pixel stream is absent/corrupt or outside the
-    * decoded subset — e.g. JPEGs with nonzero AC coefficients, which need
-    * the full IDCT path).
+    * PNGs and the Huffman+IDCT statistic for baseline grayscale JPEGs
+    * (0 when the pixel stream is absent/corrupt or outside the decoded
+    * subset — e.g. chroma-subsampled color JPEGs or progressive frames).
     */
   def decode(payload: Array[Byte]): (Boolean, Int, Int, Int, Int, Long) = {
     decodePng(payload).map { case (w, h) =>

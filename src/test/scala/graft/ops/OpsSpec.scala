@@ -483,25 +483,73 @@ class OpsSpec extends SparkSpec {
     assert(Multimodal.decodeJpeg(Multimodal.jpegBytes(1L, 10, 10).take(10)).isEmpty)
   }
 
-  test("multimodal: JPEG Huffman entropy decode recovers exact pixel sums") {
-    // round-trip: the generator emits a REAL baseline entropy stream; the
-    // decoder Huffman-decodes every MCU (DC category + magnitude + EOB) and
-    // reconstructs the flat blocks — sums must match w·h·gray exactly,
-    // including non-multiple-of-8 dims (partial-block crop math)
-    for ((id, w, h) <- Seq((0L, 8, 8), (7L, 575, 303), (15L, 64, 48), (16L, 13, 9), (5L, 100, 100))) {
+  // Independent closed-form replay of the fixed-point IDCT spec for the
+  // generator's (dc, a1@zigzag1, a2@zigzag2) blocks — constants HARDCODED
+  // (not read from Multimodal.idctK) so this is a second derivation: only
+  // v∈{0,1}, u∈{0,1} basis positions are active, so pixel(y,x) =
+  // clamp(floorDiv(K0·(K0·dc + K1(x)·a1) + K0·K1(y)·a2 + 2²⁵, 2²⁶) + 128).
+  private val jpegK1 = Array(4017L, 3406L, 2276L, 799L, -799L, -2276L, -3406L, -4017L)
+  private def jpegExpectedPixel(id: Long, x: Int, y: Int): Long = {
+    val k0 = 2896L
+    val dc = 8L * (Multimodal.jpegGray(id) - 128)
+    val s = k0 * (k0 * dc + jpegK1(x) * Multimodal.jpegAc1(id)) +
+      k0 * jpegK1(y) * Multimodal.jpegAc2(id)
+    math.max(0L, math.min(255L, Math.floorDiv(s + (1L << 25), 1L << 26) + 128L))
+  }
+  private def jpegExpectedSum(id: Long, w: Int, h: Int): Long =
+    (for (y <- 0 until 8; x <- 0 until 8) yield
+      jpegExpectedPixel(id, x, y) *
+        (w / 8 + (if (x < w % 8) 1 else 0)) *
+        (h / 8 + (if (y < h % 8) 1 else 0))).sum
+  private def jpegExpectedLen(id: Long, w: Int, h: Int): Long = {
+    val m = (id % 16).toInt
+    val t = if (m == 0) 0 else 7 + (31 - Integer.numberOfLeadingZeros(m))
+    def szBits(v: Int): Int = if (v == 0) 0 else 3 + (32 - Integer.numberOfLeadingZeros(math.abs(v)))
+    val acbits = 3 + szBits(Multimodal.jpegAc1(id)) + szBits(Multimodal.jpegAc2(id))
+    val nb = ((w + 7) / 8).toLong * ((h + 7) / 8)
+    175 + ((nb * (4 + acbits) + t + 7) / 8)
+  }
+
+  test("multimodal: JPEG Huffman+IDCT decode recovers exact pixel sums (AC ripples included)") {
+    // round-trip: the generator emits a REAL baseline entropy stream with
+    // nonzero AC coefficients; the decoder Huffman-decodes every MCU,
+    // dequantizes through the zigzag, and runs the fixed-point IDCT — sums
+    // must match the independent closed form exactly, including
+    // non-multiple-of-8 dims (partial-block crop math). Ids cover every
+    // (a1, a2) combination class: id%5 ∈ {0..4} × id%7 ∈ {0..6}.
+    for ((id, w, h) <- Seq((0L, 8, 8), (7L, 575, 303), (15L, 64, 48), (16L, 13, 9),
+      (5L, 100, 100), (12L, 40, 24), (17L, 30, 30), (23L, 64, 8), (30L, 9, 80))) {
       val bytes = Multimodal.jpegBytes(id, w, h)
       assert(Multimodal.decodeJpeg(bytes) == Some((w, h)))
-      assert(Multimodal.decodeJpegPixels(bytes) ==
-        Some(w.toLong * h * Multimodal.jpegGray(id)),
+      assert(Multimodal.decodeJpegPixels(bytes) == Some(jpegExpectedSum(id, w, h)),
         s"pixel sum mismatch for id=$id ${w}x$h")
     }
-    // closed-form byte length (the q27 oracle's formula): 169 header +
-    // ceil((5·nblocks + t)/8) entropy bytes
-    for ((id, w, h) <- Seq((0L, 8, 8), (7L, 575, 303), (15L, 64, 48))) {
-      val m = (id % 16).toInt
-      val t = if (m == 0) 0 else 7 + (31 - Integer.numberOfLeadingZeros(m))
-      val nb = ((w + 7) / 8).toLong * ((h + 7) / 8)
-      assert(Multimodal.jpegBytes(id, w, h).length == 169 + ((5 * nb + t + 7) / 8),
+    // a DC-only image (a1=0 at id%5==2, a2=0 at id%7==3) still reduces to
+    // the flat w·h·gray sum — and an image WITH ripples must NOT equal it,
+    // or the AC path would be untested
+    val flatId = 17L // 17%5==2, 17%7==3
+    assert(Multimodal.jpegAc1(flatId) == 0 && Multimodal.jpegAc2(flatId) == 0)
+    assert(jpegExpectedSum(flatId, 32, 32) == 32L * 32 * Multimodal.jpegGray(flatId))
+    // AC sensitivity of the ORACLE STATISTIC: on full blocks the antisymmetric
+    // ripples (K1(7−x) = −K1(x)) cancel in the SUM even though individual
+    // pixels move, so the evidence lives in partial edge blocks — assert that
+    // the actual q27 corpus (its jpg dims) contains images whose expected sum
+    // differs from the flat w·h·gray value an AC-ignoring decoder would get
+    val acSensitive = (0L until 1000L)
+      .filter(i => i % 3 == 1 && i % 17 != 0)
+      .count { i =>
+        val w = 64 + (i % 512).toInt; val h = 48 + (i % 256).toInt
+        jpegExpectedSum(i, w, h) != w.toLong * h * Multimodal.jpegGray(i)
+      }
+    assert(acSensitive > 50,
+      s"only $acSensitive AC-sensitive jpgs — the oracle would barely detect an AC-ignoring decoder")
+    // the engine's basis constants match the test's hardcoded second source
+    assert((0 until 8).forall(x => Multimodal.idctK(1, x) == jpegK1(x)))
+    assert((0 until 8).forall(x => Multimodal.idctK(0, x) == 2896L))
+    // closed-form byte length (the q27 oracle's formula): 175 header +
+    // ceil((nblocks·(4+acbits) + t)/8) entropy bytes
+    for ((id, w, h) <- Seq((0L, 8, 8), (7L, 575, 303), (15L, 64, 48), (17L, 30, 30), (30L, 9, 80))) {
+      assert(Multimodal.jpegBytes(id, w, h).length == jpegExpectedLen(id, w, h),
         s"byte length formula broke for id=$id ${w}x$h")
     }
     // truncated entropy stream and garbage fail cleanly
@@ -615,15 +663,9 @@ class OpsSpec extends SparkSpec {
       val raw = h * (3 * w + 1)
       57 + raw + 6 + 5 * ((raw + 65534) / 65535)
     }
-    def jpegBytesLen(id: Long, w: Long, h: Long): Long = {
-      val m = (id % 16).toInt
-      val t = if (m == 0) 0 else 7 + (31 - Integer.numberOfLeadingZeros(m))
-      val nb = ((w + 7) / 8) * ((h + 7) / 8)
-      169 + (5 * nb + t + 7) / 8
-    }
     assert(valid.forall(f => f.kind match {
       case "png" => f.n_bytes == pngBytesLen(f.width, f.height)
-      case "jpg" => f.n_bytes == jpegBytesLen(f.media_id, f.width, f.height)
+      case "jpg" => f.n_bytes == jpegExpectedLen(f.media_id, f.width, f.height)
       case _ => f.n_bytes == 108L
     }))
     // real pixel decode: every valid png's pixel_sum matches the formula
@@ -632,9 +674,10 @@ class OpsSpec extends SparkSpec {
         yield 3L * Multimodal.pixelValue(f.media_id, x, y)).sum
       f.pixel_sum == expect
     })
-    // ...and every valid jpeg's (flat gray, entropy-decoded)
+    // ...and every valid jpeg's (entropy-decoded + fixed-point IDCT, AC
+    // ripples included)
     assert(valid.filter(_.kind == "jpg").forall { f =>
-      f.pixel_sum == f.width.toLong * f.height * Multimodal.jpegGray(f.media_id)
+      f.pixel_sum == jpegExpectedSum(f.media_id, f.width, f.height)
     })
     assert(valid.filter(_.kind == "wav").forall(_.pixel_sum == 0L))
     // determinism
