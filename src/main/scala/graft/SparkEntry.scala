@@ -416,33 +416,39 @@ object SparkEntry {
       // only
       kgPipelineTriples(s, dir, v1 = true)),
 
-    "q38_entity_linking" -> ((s, dir) => {
+    "q38_entity_linking" -> ((s, dir) =>
       // North-rule entity linking driver-checked end-to-end: NER mentions
       // (context = the derived body) against a KB dimension derived from the
       // corpus vocabulary (one entity per distinct token; deterministic
       // prior). Single-token surfaces broadcast-join their alias; two-token
       // person names find no candidate and exercise the unlinked (null)
       // left-join path. ctx_sim/link_score are the operator's real formulas.
-      import s.implicits._
-      val docs = t(s, dir, "documents")
-      val mentions = docs.select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val body = Corpus.derivedBody(text)
-          graft.analyze.DocAnalyze.extractEntities(body).zipWithIndex.map {
-            case (e, i) => (s"$id#${i + 1}", id, e.text, body)
-          }
-        }.toDF("mention_id", "doc_id", "surface", "context")
-      val kb = docs.select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
-        .select(col("tok").as("entity_id"),
-          concat(upper(substring(col("tok"), 1, 1)), substring(col("tok"), 2, 1000)).as("canonical_name"),
-          array(col("tok")).as("aliases"),
-          col("tok").as("profile"),
-          round(lit(0.3) + (length(col("tok")) % 5) * lit(0.1), 1).as("prior"))
-      graft.link.EntityLink.link(mentions, kb)
-        .select(col("mention_id"), col("doc_id"), col("surface"),
-          col("entity_id"), col("canonical_name"), col("ctx_sim"), col("link_score"))
-    })
+      entityLinkingOverDocs(s, t(s, dir, "documents")))
   )
+
+  /** The q38 construction over ANY (doc_id, text) frame — shared with
+    * DataScaleProbe so the broadcast-dimension linking shape gets driven at
+    * 10× data, not just at the sf0.01 oracle size.
+    */
+  def entityLinkingOverDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val mentions = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val body = Corpus.derivedBody(text)
+        graft.analyze.DocAnalyze.extractEntities(body).zipWithIndex.map {
+          case (e, i) => (s"$id#${i + 1}", id, e.text, body)
+        }
+      }.toDF("mention_id", "doc_id", "surface", "context")
+    val kb = docs.select(explode(TextOps.tokens(col("text"))).as("tok")).distinct()
+      .select(col("tok").as("entity_id"),
+        concat(upper(substring(col("tok"), 1, 1)), substring(col("tok"), 2, 1000)).as("canonical_name"),
+        array(col("tok")).as("aliases"),
+        col("tok").as("profile"),
+        round(lit(0.3) + (length(col("tok")) % 5) * lit(0.1), 1).as("prior"))
+    graft.link.EntityLink.link(mentions, kb)
+      .select(col("mention_id"), col("doc_id"), col("surface"),
+        col("entity_id"), col("canonical_name"), col("ctx_sim"), col("link_score"))
+  }
 
   /** The expected KG-pipeline triples, reconstructed from documents columns
     * ONLY (shared by the q25 and q33 oracles):

@@ -79,10 +79,11 @@ object TextOps {
       .distinct()
   }
 
-  /** Karp-Rabin winnowing (driver/executor-side scale twin of
-    * `winnowingFingerprints`): polynomial rolling hash (base 257 mod 2^61-1)
-    * computed in O(1) per position, same rightmost-min window selection.
-    * Returns distinct (pos, fp) pairs, pos 1-based.
+  /** Karp-Rabin winnowing (the scale twin of `winnowingFingerprints`,
+    * wired as a DataFrame stage by `winnowingFingerprintsRolling`):
+    * polynomial rolling hash (base 257 mod 2^61-1) computed in O(1) per
+    * position, same rightmost-min window selection. Returns distinct
+    * (pos, fp) pairs, pos 1-based.
     */
   def winnowRolling(text: String, k: Int = 5, w: Int = 4): Seq[(Int, Long)] = {
     if (text == null || text.length < k) return Nil
@@ -115,6 +116,32 @@ object TextOps {
       out += ((best + 1, hs(best)))
     }
     out.toSeq
+  }
+
+  /** Winnowing fingerprints as a mapPartitions stage over `winnowRolling` —
+    * the 100 TB path: the Column variant's window lambda re-evaluates
+    * `slice`/`array_min` ~3× per position (higher-order-function lambdas get
+    * no common-subexpression elimination — the repo-wide no-CSE discipline),
+    * and its md5-per-gram hashing is ~25 JVM calls per position, while the
+    * rolling hash is O(1) arithmetic per position with one linear selection
+    * pass. Same output shape (doc_id, pos, fp) and the same rightmost-min
+    * selection semantics over its own hash family (Karp-Rabin instead of
+    * md5-prefix, so fp VALUES differ between the twins by design — the MOSS
+    * guarantee, selection rule, and density are identical; OpsSpec asserts
+    * all three). Narrow (no shuffle at all — per-doc dedup happens inside
+    * the flatMap); the Column variant stays wired for q47 because its md5
+    * grams are engine-replayable by the SQL oracle.
+    */
+  def winnowingFingerprintsRolling(docs: DataFrame, k: Int = 5, w: Int = 4,
+                                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        winnowRolling(text, k, w).map { case (pos, fp) => (id, pos, fp) }
+      })
+      .toDF("doc_id", "pos", "fp")
   }
 
   /** Occurrences of a token with word boundaries via padded substring count

@@ -112,6 +112,59 @@ object StreamingPipeline {
     else firstSeenDedup(keys)
   }
 
+  /** Holds the bounded recent (doc_id, simhash) partners of one band key —
+    * the verification state for `verifiedNearDupStream`.
+    */
+  final case class BandPartners(partners: Seq[(Long, Long)])
+
+  /** IN-STREAM VERIFIED near-dup — closes the gap between the band-key
+    * flagging stream (candidates only, pigeonhole recall) and batch q36
+    * semantics (hamming-verified pairs): each doc explodes into its 4 band
+    * keys carrying its full 64-bit simhash; per band key the state keeps the
+    * (bounded) recent (doc_id, simhash) partners, and an arriving doc emits
+    * (d1, d2, hamming) for every stored partner within `maxHamming` — a
+    * candidate that shares a band but exceeds maxHamming (an LSH false
+    * positive) is filtered IN the stream, no downstream batch needed.
+    *
+    * State shape at 100 TB: the key space is structurally bounded (4 bands ×
+    * 2¹⁶ signatures = 262,144 keys) and each key holds ≤ `maxPartners`
+    * entries (FIFO eviction), so total state is a few hundred MB worst case
+    * regardless of stream length — no timeout lease needed. Tradeoffs
+    * (documented contract): an evicted partner stops matching (batch q12/q36
+    * stay the backstop, as with the horizon lease), and a pair sharing
+    * SEVERAL bands emits once per shared band — dedup downstream with
+    * dropDuplicates(d1, d2) if exact-once pairs matter. Within a batch,
+    * docs are processed in doc_id order (deterministic replay).
+    */
+  def verifiedNearDupStream(docs: Dataset[(Long, String)], maxHamming: Int = 4,
+                            maxPartners: Int = 64): Dataset[(Long, Long, Int)] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = docs.flatMap { case (id, text) =>
+      val sim = graft.ops.NearDup.simhashMd5Long(text)
+      (0 until 4).map(b => (f"$b:${(sim >>> (16 * b)) & 0xffffL}%04x", id, sim))
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[BandPartners, (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, rows: Iterator[(String, Long, Long)], state: GroupState[BandPartners]) =>
+          var partners = state.getOption.map(_.partners.toVector).getOrElse(Vector.empty)
+          val out = Vector.newBuilder[(Long, Long, Int)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sim) =>
+            if (!partners.exists(_._1 == id)) {
+              partners.foreach { case (pid, psim) =>
+                val h = java.lang.Long.bitCount(sim ^ psim)
+                if (h <= maxHamming)
+                  out += ((math.min(pid, id), math.max(pid, id), h))
+              }
+              partners = (partners :+ ((id, sim))).takeRight(maxPartners)
+            }
+          }
+          state.update(BandPartners(partners))
+          out.result().iterator
+      }
+  }
+
   def firstSeenDedupWithHorizon(docs: Dataset[(String, Long)],
                                 horizonMs: Long): Dataset[(String, Long)] = {
     import docs.sparkSession.implicits._

@@ -85,6 +85,29 @@ object DataScaleProbe {
       record("kg_triples")(Pipeline.docGraphs(spark,
         Corpus.pages(spark, n, partitions = 128))
         .flatMap(g => GraphBuild.triples(g)).count())
+      // winnowing twins over the SAME docs: the md5-gram Column variant vs
+      // the Karp-Rabin mapPartitions stage — the per-position cost claim
+      // (triple-slice window lambda + ~25 md5 calls vs O(1) rolling update)
+      // measured, not argued
+      record("winnow_column")(TextOps.winnowingFingerprints(docs).count())
+      record("winnow_rolling")(TextOps.winnowingFingerprintsRolling(docs).count())
+      // entity linking (q38 shape): typed NER flatMap + broadcast vocab-KB
+      // dimension + min_by best-candidate — the "hub-surface skew-immune"
+      // claim driven at 10× data
+      record("entity_linking")(graft.SparkEntry.entityLinkingOverDocs(spark, docs).count())
+      // connected components (large-star/small-star) on an n-edge hub+chain
+      // mix: n/2 spokes on one hub + 1000-hop chains — the dedup families'
+      // sub-linearity evidence extended to the canonicalization operator
+      record("canon_cc") {
+        val hub = spark.range(1, n / 2)
+          .select(lit("h0").as("src"), concat(lit("h"), col("id")).as("dst"))
+        val chain = spark.range(n / 2).select(
+          concat(lit("c"), (col("id") / 1000).cast("long"), lit("_"),
+            (col("id") % 1000)).as("src"),
+          concat(lit("c"), (col("id") / 1000).cast("long"), lit("_"),
+            (col("id") % 1000) + 1).as("dst"))
+        graft.canon.Canonicalize.connectedComponents(spark, hub.union(chain)).count()
+      }
     }
 
     println("\nop               nBase_s  n10x_s  wall_ratio (linear=10)")

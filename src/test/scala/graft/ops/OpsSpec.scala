@@ -82,6 +82,58 @@ class OpsSpec extends SparkSpec {
     assert((replay(u).map(_._2) & f1).isEmpty)
   }
 
+  test("winnowRolling DataFrame stage: selection ≡ an independent BigInt replay; density guarantee") {
+    import spark.implicits._
+    // independent Karp-Rabin reimplementation: BigInt mod arithmetic per
+    // gram (no multiplyHigh trick, no rolling update — a second derivation
+    // that validates the O(1) mulmod path end to end)
+    def krHashes(text: String, k: Int): Vector[Long] = {
+      val M = BigInt(2).pow(61) - 1
+      val B = BigInt(257)
+      (0 to text.length - k).map { i =>
+        text.substring(i, i + k).foldLeft(BigInt(0))((a, c) => (a * B + c.toInt) mod M).toLong
+      }.toVector
+    }
+    // the shared selection rule (rightmost min per window, deduped) — the
+    // same semantics the Column variant's replay test asserts
+    def select(hs: Vector[Long], w: Int): Set[(Int, Long)] =
+      if (hs.length < w) Set.empty
+      else (0 to hs.length - w).map { s =>
+        var best = s
+        for (j <- s + 1 until s + w) if (hs(j) <= hs(best)) best = j
+        (best + 1, hs(best))
+      }.toSet
+    val rnd = new scala.util.Random(20260817L)
+    val alphabet = "abcdefg "
+    for (trial <- 1 to 20) {
+      val text = (0 until (4 + rnd.nextInt(80))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = TextOps.winnowRolling(text).toSet
+      assert(got == select(krHashes(text, 5), 4), s"trial $trial text='$text'")
+      // density guarantee: in any w consecutive windows at least one
+      // position is selected → selected positions are never > w apart
+      val n = text.length - 4
+      if (n >= 4) {
+        val ps = got.map(_._1).toSeq.sorted
+        assert(ps.head <= 4 && ps.last >= n - 3 &&
+          ps.zip(ps.tail).forall { case (a, b) => b - a <= 4 }, s"gap in $ps")
+      }
+    }
+    // the DataFrame stage ≡ the driver function per doc (and drops empties)
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "a different prefix but the quick brown fox jumps appears here"
+    val d = Seq((1L, t1), (2L, t2), (3L, "zz")).toDF("doc_id", "text")
+    val got = TextOps.winnowingFingerprintsRolling(d).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.filter(_._1 == 1L).map(x => (x._2, x._3)).toSet == TextOps.winnowRolling(t1).toSet)
+    assert(got.filter(_._1 == 2L).map(x => (x._2, x._3)).toSet == TextOps.winnowRolling(t2).toSet)
+    assert(!got.exists(_._1 == 3L))
+    // MOSS guarantee through the stage: the shared >= w+k-1 substring yields
+    // a shared fp value across docs
+    val f1 = got.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = got.filter(_._1 == 2L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty)
+  }
+
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "z y x w v")
     val sig = NearDup.minhashSignatures(d, k = 4).collect()

@@ -132,6 +132,55 @@ class StreamingSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("verified near-dup stream: hamming checked IN-stream, LSH false positives filtered") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    def sim(t: String) = graft.ops.NearDup.simhashMd5Long(t)
+    def bandSet(s: Long): Set[(Int, Long)] =
+      (0 until 4).map(b => (b, (s >>> (16 * b)) & 0xffffL)).toSet
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // deterministic search for an LSH FALSE POSITIVE: two unrelated texts
+    // that share a 16-bit band (prob 2^-16 per band-pair — ~500 expected
+    // collisions in this pool) but sit far apart in hamming. The band-key
+    // stream alone would flag them; the verified stream must NOT emit them.
+    val pool = (0 until 4000).map(i =>
+      s"document number $i talks about topic ${i % 97} and subject ${i % 31} extensively")
+    val sims = pool.map(sim)
+    val byBand = scala.collection.mutable.Map.empty[(Int, Long), List[Int]]
+    var fp: Option[(Int, Int)] = None
+    for (i <- pool.indices if fp.isEmpty; b <- bandSet(sims(i))) {
+      val prev = byBand.getOrElse(b, Nil)
+      prev.find(j => ham(sims(i), sims(j)) > 4).foreach(j => fp = Some((j, i)))
+      byBand(b) = i :: prev
+    }
+    val (fpA, fpB) = fp.getOrElse(fail("no band-colliding distant pair found in the pool"))
+    val nearA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau upsilon"
+    val nearB = "alpha beta gamma delt epsilon zeta eta theta iota kappa lam mu nu xi omicron pi rho sigma tau upsilon"
+    assert(ham(sim(nearA), sim(nearB)) <= 4)
+    val b1 = Seq((1L, nearA), (10L, pool(fpA)))
+    val b2 = Seq((2L, nearB), (11L, pool(fpB))) // true dup AND false positive arrive a batch later
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.verifiedNearDupStream(input.toDS(), maxHamming = 4)
+      .writeStream.format("memory").queryName("neardup_v").outputMode("append").start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    input.addData(b2: _*)
+    q.processAllAvailable()
+    val emitted = spark.sql("select * from neardup_v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    q.stop()
+    // the cross-batch TRUE near-dup is emitted with its exact hamming; the
+    // flagged-but-distant pair (10, 11) — which DOES share a band — is not
+    assert(emitted.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got $emitted")
+    assert(emitted.head._3 == ham(sim(nearA), sim(nearB)))
+    // stream ≡ batch q36 on the same corpus: identical verified pair set
+    val batchPairs = graft.ops.NearDup.simhashNearDupPairs(
+      (b1 ++ b2).toDF("doc_id", "text"), maxHamming = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(emitted.map(p => (p._1, p._2)) == batchPairs)
+  }
+
   test("watermarked windowed event counts run in a micro-batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-ev").toString
