@@ -607,6 +607,9 @@ object SparkEntry {
   private def idctK0: Long = graft.ops.Multimodal.idctK(0, 0)
   private def idctK1Sql: String =
     (0 until 8).map(x => graft.ops.Multimodal.idctK(1, x)).mkString("[", ",", "]")
+  // fixed-point YCbCr→RGB constants for the color-JPEG replay — same single
+  // source of truth (Multimodal.yccToRgb)
+  private def ycc: (Long, Long, Long, Long) = graft.ops.Multimodal.yccToRgb
 
   private def simhashOracleCtes: String = {
     val split = """list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')"""
@@ -1194,17 +1197,27 @@ object SparkEntry {
     // header/chunk overhead + zlib stored stream (raw + 6 + 5·ceil(raw/
     // 65535)), raw = h·(3w+1); png pixel_sum: every channel of (x,y) is
     // (i+x+y)%256, summed over antidiagonals s = x+y (trapezoid count
-    // least(s, w-1, h-1, w+h-2-s)+1) to avoid a w×h blowup. jpeg (baseline
-    // grayscale, dc = 64·(i%16), AC ripples a1 = 3·((i%5)−2) at zigzag 1
+    // least(s, w-1, h-1, w+h-2-s)+1) to avoid a w×h blowup. jpeg rows split
+    // i%6=1 grayscale / i%6=4 YCbCr-4:2:0 color. Grayscale (dc = 64·(i%16),
+    // AC ripples a1 = 3·((i%5)−2) at zigzag 1
     // and a2 = 2·((i%7)−3) at zigzag 2, identical in every block): bytes =
     // 175 header + ceil((nblocks·(4+acbits) + t)/8) where t =
     // bitlen(dc) = 6+floor(log2(i%16))+1 (first block's DC magnitude bits)
-    // and acbits = 3 (EOB) + per-ripple (3 + size); pixel_sum replays the
+    // and acbits = 3 (EOB) + per-ripple (3 + size); images with i%13<6
+    // carry a DRI (+6 header) with restart interval r = 2+(i%4) — the
+    // stream splits into ceil(nblocks/r) byte-aligned segments, each paying
+    // t once (DC predictor reset), plus 2 bytes per RSTn (jb CTE).
+    // pixel_sum (jpx CTE) replays the
     // fixed-point IDCT — only v∈{0,1},u∈{0,1} basis cells are active, so
     // pixel(y,x) = clamp(floor((K0·(K0·dc + K1[x]·a1) + K0·K1[y]·a2 +
     // 2²⁵)/2²⁶) + 128) with the K literals generated from the engine's
     // idctK, weighted by how many blocks show column x / row y (w//8 + edge
-    // remainder) — an 8×8 grid per image instead of a w×h blowup.
+    // remainder) — an 8×8 grid per image instead of a w×h blowup. Color
+    // (jc/jcy/jcx/jcb CTEs): same luma cell, flat chroma cb = 4·((i%9)−4) /
+    // cr = 4·((i%11)−5), JFIF fixed-point RGB (constants from yccToRgb);
+    // RGB stays periodic-8 so the same 8×8-grid weighting applies; bytes =
+    // 311 overhead + ceil((nmcu·(4·bpm + 14) + ty + tcb + tcr)/8), no DRI
+    // on color rows.
     "q27_multimodal_features" ->
       (s"""WITH f AS (SELECT i,
            CASE WHEN i%3=0 THEN 'png' WHEN i%3=1 THEN 'jpg' ELSE 'wav' END AS kind,
@@ -1217,8 +1230,19 @@ object SparkEntry {
                     3*sum((least(s.s, p.w-1, p.h-1, p.w+p.h-2-s.s)+1) * ((p.i + s.s) % 256)) AS px
                   FROM praw p JOIN generate_series(0, 876) s(s) ON s.s <= p.w+p.h-2
                   GROUP BY 1),
-         jp AS (SELECT i, w, h, 64*(i%16) AS dc, 3*((i%5)-2) AS a1, 2*((i%7)-3) AS a2
-                FROM f WHERE kind='jpg' AND NOT corrupt),
+         jp AS (SELECT i, w, h, 64*(i%16) AS dc, 3*((i%5)-2) AS a1, 2*((i%7)-3) AS a2,
+                  CAST(ceil(w/8.0) AS BIGINT)*CAST(ceil(h/8.0) AS BIGINT) AS nb,
+                  CASE WHEN i%16=0 THEN 0 ELSE 7 + CAST(floor(log2(i%16)) AS BIGINT) END AS t,
+                  7 + CASE abs(3*((i%5)-2)) WHEN 0 THEN 0 WHEN 3 THEN 5 ELSE 6 END
+                    + CASE abs(2*((i%7)-3)) WHEN 0 THEN 0 WHEN 2 THEN 5 ELSE 6 END AS bpm,
+                  CASE WHEN i%13 < 6 THEN 2 + i%4 ELSE 0 END AS r
+                FROM f WHERE kind='jpg' AND i%6=1 AND NOT corrupt),
+         jb AS (SELECT i,
+                  CASE WHEN r = 0 THEN 175 + (nb*bpm + t + 7)//8
+                       ELSE 181 + ((nb + r - 1)//r - 1) * ((r*bpm + t + 7)//8 + 2)
+                            + ((nb - ((nb + r - 1)//r - 1)*r)*bpm + t + 7)//8
+                  END AS jbytes
+                FROM jp),
          jpx AS (SELECT jp.i,
                    sum((jp.w//8 + CASE WHEN xx.x < jp.w%8 THEN 1 ELSE 0 END)
                      * (jp.h//8 + CASE WHEN yy.y < jp.h%8 THEN 1 ELSE 0 END)
@@ -1227,28 +1251,46 @@ object SparkEntry {
                           + $idctK0*($idctK1Sql)[yy.y+1]*jp.a2 + 33554432) / 67108864.0) AS BIGINT)))) AS px
                  FROM jp JOIN generate_series(0,7) xx(x) ON true
                          JOIN generate_series(0,7) yy(y) ON true
-                 GROUP BY 1)
+                 GROUP BY 1),
+         jc AS (SELECT i, w, h, 64*(i%16) AS dc, 3*((i%5)-2) AS a1, 2*((i%7)-3) AS a2,
+                  4*((i%9)-4) AS cb, 4*((i%11)-5) AS cr,
+                  CAST(ceil(w/16.0) AS BIGINT)*CAST(ceil(h/16.0) AS BIGINT) AS nmcu,
+                  CASE WHEN i%16=0 THEN 0 ELSE 7 + CAST(floor(log2(i%16)) AS BIGINT) END AS ty,
+                  7 + CASE abs(3*((i%5)-2)) WHEN 0 THEN 0 WHEN 3 THEN 5 ELSE 6 END
+                    + CASE abs(2*((i%7)-3)) WHEN 0 THEN 0 WHEN 2 THEN 5 ELSE 6 END AS bpm,
+                  CASE abs((i%9)-4)  WHEN 0 THEN 0 WHEN 1 THEN 6 WHEN 2 THEN 7 WHEN 3 THEN 7 ELSE 8 END AS tcb,
+                  CASE abs((i%11)-5) WHEN 0 THEN 0 WHEN 1 THEN 6 WHEN 2 THEN 7 WHEN 3 THEN 7 ELSE 8 END AS tcr
+                FROM f WHERE kind='jpg' AND i%6=4 AND NOT corrupt),
+         jcb AS (SELECT i, 311 + (nmcu*(4*bpm + 14) + ty + tcb + tcr + 7)//8 AS jbytes FROM jc),
+         jcy AS (SELECT jc.i, xx.x, yy.y, jc.w, jc.h, jc.cb, jc.cr,
+                   greatest(0, least(255, 128 + CAST(floor(
+                     ($idctK0*($idctK0*jc.dc + ($idctK1Sql)[xx.x+1]*jc.a1)
+                      + $idctK0*($idctK1Sql)[yy.y+1]*jc.a2 + 33554432) / 67108864.0) AS BIGINT))) AS yv
+                 FROM jc JOIN generate_series(0,7) xx(x) ON true
+                         JOIN generate_series(0,7) yy(y) ON true),
+         jcx AS (SELECT i,
+                   sum((w//8 + CASE WHEN x < w%8 THEN 1 ELSE 0 END)
+                     * (h//8 + CASE WHEN y < h%8 THEN 1 ELSE 0 END)
+                     * (greatest(0, least(255, yv + CAST(floor((${ycc._1}*cr + 32768)/65536.0) AS BIGINT)))
+                      + greatest(0, least(255, yv - CAST(floor((${ycc._2}*cb + ${ycc._3}*cr + 32768)/65536.0) AS BIGINT)))
+                      + greatest(0, least(255, yv + CAST(floor((${ycc._4}*cb + 32768)/65536.0) AS BIGINT))))) AS px
+                 FROM jcy GROUP BY 1)
          SELECT kind, count(*) AS n,
            CAST(sum(CASE WHEN corrupt THEN 0 ELSE 1 END) AS BIGINT) AS n_valid,
            CAST(sum(CASE WHEN corrupt THEN 3
                 WHEN kind='png' THEN pb.nb
-                WHEN kind='jpg' THEN 175 + CAST(ceil((
-                  (CAST(ceil(w/8.0) AS BIGINT)*CAST(ceil(h/8.0) AS BIGINT))
-                  * (7 + CASE abs(3*((f.i%5)-2)) WHEN 0 THEN 0 WHEN 3 THEN 5 ELSE 6 END
-                       + CASE abs(2*((f.i%7)-3)) WHEN 0 THEN 0 WHEN 2 THEN 5 ELSE 6 END)
-                  + CASE WHEN f.i%16=0 THEN 0
-                         ELSE 6 + CAST(floor(log2(f.i%16)) AS BIGINT) + 1 END
-                )/8.0) AS BIGINT)
+                WHEN kind='jpg' THEN coalesce(jb.jbytes, jcb.jbytes)
                 ELSE 108 END) AS BIGINT) AS total_bytes,
            CAST(max(CASE WHEN corrupt THEN 0 WHEN kind IN ('png','jpg') THEN w ELSE 0 END) AS BIGINT) AS max_width,
            CAST(max(CASE WHEN corrupt THEN 0 WHEN kind IN ('png','jpg') THEN h ELSE 0 END) AS BIGINT) AS max_height,
            CAST(max(CASE WHEN corrupt THEN 0 WHEN kind='wav' THEN sr ELSE 0 END) AS BIGINT) AS max_sample_rate,
            CAST(sum(CASE WHEN corrupt THEN 0
                 WHEN kind='png' THEN ps.px
-                WHEN kind='jpg' THEN jx.px
+                WHEN kind='jpg' THEN coalesce(jx.px, jcx.px)
                 ELSE 0 END) AS BIGINT) AS total_pixel_sum
          FROM f LEFT JOIN pbytes pb ON f.i = pb.i LEFT JOIN psum ps ON f.i = ps.i
-                LEFT JOIN jpx jx ON f.i = jx.i
+                LEFT JOIN jpx jx ON f.i = jx.i LEFT JOIN jb ON f.i = jb.i
+                LEFT JOIN jcx ON f.i = jcx.i LEFT JOIN jcb ON f.i = jcb.i
          GROUP BY 1"""),
 
     // Resize replay: resized dims = floor(w/2), floor(h/2); resized pixel

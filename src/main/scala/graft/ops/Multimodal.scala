@@ -146,6 +146,56 @@ object Multimodal {
   def jpegAc1(id: Long): Int = 3 * ((id % 5).toInt - 2)
   def jpegAc2(id: Long): Int = 2 * ((id % 7).toInt - 3)
 
+  /** Per-image restart interval (MCUs between RSTn markers; 0 = no DRI).
+    * Roughly half the grayscale corpus carries restart markers — the
+    * web-JPEG norm (libjpeg writes DRI by default in many pipelines) — so
+    * the decoder's segment-alignment + DC-reset + cyclic-RSTn path is
+    * oracle-exercised, not just unit-tested.
+    */
+  def jpegRestartInterval(id: Long): Int =
+    if (id % 13 < 6) 2 + (id % 4).toInt else 0
+
+  /** Flat chroma planes of a color JPEG (`jpegColorBytes`): Cb/Cr constant
+    * per image, offset from neutral 128 in steps of 4 — the flat blocks
+    * decode back to these exact values through the fixed-point IDCT.
+    */
+  def jpegCb(id: Long): Int = 128 + 4 * ((id % 9).toInt - 4)
+  def jpegCr(id: Long): Int = 128 + 4 * ((id % 11).toInt - 5)
+
+  /** Fixed-point JFIF YCbCr→RGB constants (×2¹⁶, rounded): 1.402 (R←Cr),
+    * 0.344136 / 0.714136 (G←Cb/Cr), 1.772 (B←Cb). Channel math:
+    * R = clamp(Y + rnd16(c1402·(Cr−128))), G = clamp(Y − rnd16(c344·(Cb−128)
+    * + c714·(Cr−128))), B = clamp(Y + rnd16(c1772·(Cb−128))) with
+    * rnd16(v) = floorDiv(v + 2¹⁵, 2¹⁶) — deterministic integers the q27
+    * oracle inlines (generated from here, one source of truth).
+    */
+  val yccToRgb: (Long, Long, Long, Long) = (
+    Math.round(1.402 * 65536.0), Math.round(0.344136 * 65536.0),
+    Math.round(0.714136 * 65536.0), Math.round(1.772 * 65536.0))
+
+  /** Entropy bit writer shared by the JPEG generators: MSB-first bit
+    * accumulation with FF00 stuffing (tracked — the closed-form byte
+    * formulas require it never to fire) and 1-padding byte alignment.
+    */
+  private final class JpegBitWriter {
+    val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nbits = 0
+    var stuffed = false
+    def put(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1 << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = (acc >>> (nbits - 8)) & 0xff
+        out.write(b)
+        if (b == 0xff) { out.write(0x00); stuffed = true }
+        nbits -= 8
+      }
+    }
+    def putMag(v: Int, s: Int): Unit = put(if (v >= 0) v else v + (1 << s) - 1, s)
+    def alignOnes(): Unit = if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits)
+    def writeMarker(second: Int): Unit = { out.write(0xff); out.write(second) } // bypasses stuffing
+  }
+
   // ------------------------------------------------- fixed-point IDCT spec
 
   /** IDCT basis constant K(u,x) = round(Cu·cos((2x+1)·u·π/16)·4096) with
@@ -240,13 +290,18 @@ object Multimodal {
     * 8·(gray−128) plus AC ripples `jpegAc1` at zigzag 1 and `jpegAc2` at
     * zigzag 2 (run/size-coded, runs of 0 or 1), so the decoder's Huffman +
     * zigzag + dequant + IDCT path is exercised by real entropy bytes while
-    * byte totals stay closed-form: 175 header + ceil((nblocks·(4+acbits) +
-    * t)/8) entropy, where t = bitlen(8·(gray−128)) (the first block's DC
-    * magnitude bits; later blocks emit category-0 in 4 bits) and acbits =
-    * 3 (EOB) + (a1≠0: 3+size(a1)) + (a2≠0: 3+size(a2)) — the q27 oracle
-    * reconstructs this exactly. No byte ever needs FF00 stuffing (the
-    * assembled bit patterns cap runs of ones below 8, asserted below), and
-    * the APP0 before SOF still forces dimension parsers to walk the chain.
+    * byte totals stay closed-form: (175 + 6·hasDRI) header +
+    * ceil((nblocks·(4+acbits) + t)/8) entropy, where t = bitlen(8·(gray−128))
+    * (the first block's DC magnitude bits; later blocks emit category-0 in
+    * 4 bits) and acbits = 3 (EOB) + (a1≠0: 3+size(a1)) + (a2≠0: 3+size(a2))
+    * — the q27 oracle reconstructs this exactly. With a restart interval r
+    * (`jpegRestartInterval` > 0 → a DRI segment in the header) the stream
+    * splits into nseg = ceil(nblocks/r) independently byte-aligned segments
+    * separated by cyclic RST0..RST7 markers, each restarting the DC
+    * predictor, so entropy bytes become Σ_seg ceil((r_seg·(4+acbits) +
+    * t)/8) + 2·(nseg−1). No byte ever needs FF00 stuffing (the assembled
+    * bit patterns cap runs of ones below 8, asserted below), and the APP0
+    * before SOF still forces dimension parsers to walk the chain.
     */
   def jpegBytes(id: Long, w: Int, h: Int): Array[Byte] = {
     val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
@@ -260,54 +315,133 @@ object Multimodal {
         Array[Byte]((clazz << 4).toByte) ++ bits.map(_.toByte) ++ vals.map(_.toByte)
     val sos = Array[Byte](0xff.toByte, 0xda.toByte) ++ be16(8) ++
       Array[Byte](1, 1, 0x00, 0, 63, 0)
+    val restartInterval = jpegRestartInterval(id)
+    val dri =
+      if (restartInterval == 0) Array.empty[Byte]
+      else Array[Byte](0xff.toByte, 0xdd.toByte) ++ be16(4) ++ be16(restartInterval)
 
     val dcCodes = canonicalCodes(jpegDcBits, jpegDcVals)
     val acCodes = canonicalCodes(jpegAcBits, jpegAcVals)
-    val out = new java.io.ByteArrayOutputStream()
-    var acc = 0; var nbits = 0
-    var stuffed = false
-    def put(code: Int, len: Int): Unit = {
-      acc = (acc << len) | (code & ((1 << len) - 1)); nbits += len
-      while (nbits >= 8) {
-        val b = (acc >>> (nbits - 8)) & 0xff
-        out.write(b)
-        if (b == 0xff) { out.write(0x00); stuffed = true } // byte stuffing
-        nbits -= 8
-      }
-    }
-    def putMag(v: Int, s: Int): Unit = put(if (v >= 0) v else v + (1 << s) - 1, s)
+    val bw = new JpegBitWriter
     val gray = jpegGray(id)
     val dc = 8 * (gray - 128) // FDCT of a constant (level-shifted) block
     val a1 = jpegAc1(id); val a2 = jpegAc2(id)
     def putAc(run: Int, v: Int): Unit = {
       val s = 32 - Integer.numberOfLeadingZeros(math.abs(v))
       val (cl, cc) = acCodes((run << 4) | s)
-      put(cc, cl); putMag(v, s)
+      bw.put(cc, cl); bw.putMag(v, s)
     }
     val nbx = (w + 7) / 8; val nby = (h + 7) / 8
     var prev = 0
     var bi = 0
+    var sinceRestart = 0
+    var rstIdx = 0
     while (bi < nbx * nby) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        bw.alignOnes()
+        bw.writeMarker(0xd0 + (rstIdx % 8))
+        rstIdx += 1; sinceRestart = 0
+        prev = 0 // DC predictor resets per spec
+      }
       val diff = dc - prev; prev = dc
       val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // category
       val (cl, cc) = dcCodes(t)
-      put(cc, cl)
-      if (t > 0) putMag(diff, t)
+      bw.put(cc, cl)
+      if (t > 0) bw.putMag(diff, t)
       if (a1 != 0 && a2 != 0) { putAc(0, a1); putAc(0, a2) }
       else if (a1 != 0) putAc(0, a1)
       else if (a2 != 0) putAc(1, a2) // one zero (the absent a1) to skip
       val (el, ec) = acCodes(0x00)
-      put(ec, el) // EOB
+      bw.put(ec, el) // EOB
       bi += 1
+      sinceRestart += 1
     }
-    if (nbits > 0) put((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    bw.alignOnes() // pad with 1s
     // closed-form byte totals (and the q27 oracle) depend on an unstuffed
     // stream; the generated bit patterns guarantee it — fail loudly if a
     // generator change ever breaks that
-    require(!stuffed, s"jpegBytes: FF byte in entropy stream for id=$id — byte totals no longer closed-form")
+    require(!bw.stuffed, s"jpegBytes: FF byte in entropy stream for id=$id — byte totals no longer closed-form")
     Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ sof0 ++
-      dht(0, jpegDcBits, jpegDcVals) ++ dht(1, jpegAcBits, jpegAcVals) ++ sos ++
-      out.toByteArray ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+      dht(0, jpegDcBits, jpegDcVals) ++ dht(1, jpegAcBits, jpegAcVals) ++ dri ++ sos ++
+      bw.out.toByteArray ++ Array[Byte](0xff.toByte, 0xd9.toByte)
+  }
+
+  /** A REAL baseline COLOR JPEG — YCbCr 4:2:0, the dominant web layout:
+    * 3 components (Y 2×2 sampling / Tq 0, Cb and Cr 1×1 / Tq 1), two DQT
+    * tables in one segment, four DHT tables (DC/AC × table-id 0/1, same
+    * canonical layouts), interleaved MCUs of 4 Y blocks + Cb + Cr. The luma
+    * plane carries the SAME dc + AC ripples as the grayscale generator
+    * (`jpegGray`/`jpegAc1`/`jpegAc2`), chroma planes are flat at
+    * `jpegCb`/`jpegCr` — so decoded RGB is periodic-8 in both axes and the
+    * q27 oracle replays pixel sums on an 8×8 grid. Byte totals stay closed
+    * form: 311 overhead + ceil((nmcu·(4·(4+acbits) + 14) + tY + tCb +
+    * tCr)/8) entropy, where 14 = 2 chroma blocks × (4-bit DC cat-0 + 3-bit
+    * EOB) and each component's first block pays its DC magnitude bits once.
+    * No DRI on the color corpus (the grayscale half covers restarts).
+    */
+  def jpegColorBytes(id: Long, w: Int, h: Int): Array[Byte] = {
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+      ("JFIF".getBytes("US-ASCII") :+ 0.toByte) ++ Array[Byte](1, 1, 0) ++ be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    val dqt = Array[Byte](0xff.toByte, 0xdb.toByte) ++ be16(2 + 2 * 65) ++
+      (Array[Byte](0) ++ Array.fill[Byte](64)(1)) ++
+      (Array[Byte](1) ++ Array.fill[Byte](64)(1))
+    val sof0 = Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(8 + 3 * 3) ++ Array[Byte](8) ++
+      be16(h) ++ be16(w) ++ Array[Byte](3,
+        1, 0x22, 0, // Y: 2×2 sampling, quant table 0
+        2, 0x11, 1, // Cb
+        3, 0x11, 1) // Cr
+    def dht(clazz: Int, tid: Int, bits: Array[Int], vals: Array[Int]): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xc4.toByte) ++ be16(2 + 1 + 16 + vals.length) ++
+        Array[Byte](((clazz << 4) | tid).toByte) ++ bits.map(_.toByte) ++ vals.map(_.toByte)
+    val sos = Array[Byte](0xff.toByte, 0xda.toByte) ++ be16(6 + 2 * 3) ++
+      Array[Byte](3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)
+
+    val dcCodes = canonicalCodes(jpegDcBits, jpegDcVals)
+    val acCodes = canonicalCodes(jpegAcBits, jpegAcVals)
+    val bw = new JpegBitWriter
+    def putAc(run: Int, v: Int): Unit = {
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+      val (cl, cc) = acCodes((run << 4) | s)
+      bw.put(cc, cl); bw.putMag(v, s)
+    }
+    def putDc(diff: Int): Unit = {
+      val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (cl, cc) = dcCodes(t)
+      bw.put(cc, cl)
+      if (t > 0) bw.putMag(diff, t)
+    }
+    val eob = acCodes(0x00)
+    val dcY = 8 * (jpegGray(id) - 128)
+    val a1 = jpegAc1(id); val a2 = jpegAc2(id)
+    val dcCb = 8 * (jpegCb(id) - 128)
+    val dcCr = 8 * (jpegCr(id) - 128)
+    var prevY = 0; var prevCb = 0; var prevCr = 0
+    def yBlock(): Unit = {
+      putDc(dcY - prevY); prevY = dcY
+      if (a1 != 0 && a2 != 0) { putAc(0, a1); putAc(0, a2) }
+      else if (a1 != 0) putAc(0, a1)
+      else if (a2 != 0) putAc(1, a2)
+      bw.put(eob._2, eob._1)
+    }
+    def chromaBlock(dc: Int, prev: Int): Int = {
+      putDc(dc - prev)
+      bw.put(eob._2, eob._1)
+      dc
+    }
+    val nmcu = ((w + 15) / 16) * ((h + 15) / 16)
+    var m = 0
+    while (m < nmcu) {
+      yBlock(); yBlock(); yBlock(); yBlock()
+      prevCb = chromaBlock(dcCb, prevCb)
+      prevCr = chromaBlock(dcCr, prevCr)
+      m += 1
+    }
+    bw.alignOnes()
+    require(!bw.stuffed, s"jpegColorBytes: FF byte in entropy stream for id=$id — byte totals no longer closed-form")
+    Array[Byte](0xff.toByte, 0xd8.toByte) ++ app0 ++ dqt ++ sof0 ++
+      dht(0, 0, jpegDcBits, jpegDcVals) ++ dht(1, 0, jpegAcBits, jpegAcVals) ++
+      dht(0, 1, jpegDcBits, jpegDcVals) ++ dht(1, 1, jpegAcBits, jpegAcVals) ++ sos ++
+      bw.out.toByteArray ++ Array[Byte](0xff.toByte, 0xd9.toByte)
   }
 
   /** Closed-form 16-bit PCM sample i of wav `id`: ((7·id + 37·i) mod 4096)
@@ -420,28 +554,44 @@ object Multimodal {
     None
   }
 
-  /** Baseline JPEG pixel decode (grayscale): parses DQT, DHT (canonical
-    * code rebuild — works for ANY table, incl. Annex K), SOF0 (requires one
-    * 8-bit component, 1×1 sampling, quant table 0, no restart markers),
-    * SOS, then a real Huffman entropy decode of every MCU — DC category +
-    * magnitude bits (with the spec's negative extension) and the full AC
-    * run/size loop (ZRL, arbitrary runs, EOB) into a zigzag-ordered
-    * coefficient block — followed by dequantization and the fixed-point
-    * integer IDCT (`idctPixels`). Returns the sum of reconstructed pixel
-    * values over the w×h crop (partial edge blocks summed over their
-    * visible region only). Consecutive identical coefficient blocks reuse
-    * the previous IDCT output (pure-function memoization — flat regions
-    * dominate real images and the synthetic corpus).
+  /** Baseline JPEG pixel decode: parses DQT (up to 4 tables), DHT (canonical
+    * code rebuild per (class, table-id) — works for ANY table, incl. Annex
+    * K), SOF0, DRI, SOS (per-component DC/AC table selectors), then a real
+    * Huffman entropy decode of every MCU — DC category + magnitude bits
+    * (with the spec's negative extension) and the full AC run/size loop
+    * (ZRL, arbitrary runs, EOB) into a zigzag-ordered coefficient block —
+    * followed by dequantization against the component's OWN quant table and
+    * the fixed-point integer IDCT (`idctPixels`).
+    *
+    * Supported frame layouts: grayscale (1 component, 1×1) and YCbCr 4:2:0
+    * (Y 2×2 + two 1×1 chroma — the dominant web layout); anything else →
+    * None. For color, chroma is 2× nearest-replicated and converted with
+    * the fixed-point `yccToRgb` math; the returned statistic is the sum of
+    * R+G+B over the w×h crop (grayscale: sum of Y). Restart markers are
+    * honored: at each DRI boundary the reader byte-aligns, consumes the
+    * expected CYCLIC RST0..RST7 marker (anything else → None, catching
+    * desync), and resets every DC predictor. Partial edge blocks/MCUs are
+    * summed over their visible region only. Per-component consecutive
+    * identical coefficient blocks reuse the previous IDCT output
+    * (pure-function memoization — flat regions dominate real images and
+    * the synthetic corpus).
     */
   def decodeJpegPixels(p: Array[Byte]): Option[Long] = {
     try {
       if (p == null || p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return None
       var pos = 2
-      var q0: Array[Int] = null
-      var dcTab: Map[(Int, Int), Int] = null // (len, code) -> symbol
-      var acTab: Map[(Int, Int), Int] = null
+      val qt = new Array[Array[Int]](4)
+      val dcT = new Array[Map[(Int, Int), Int]](4) // (len, code) -> symbol
+      val acT = new Array[Map[(Int, Int), Int]](4)
       var w = 0; var h = 0
+      var ncomp = 0
+      var compIds: Array[Int] = null
+      var compSamp: Array[Int] = null
+      var compTq: Array[Int] = null
+      var dcSel: Array[Int] = null
+      var acSel: Array[Int] = null
       var sosAt = -1
+      var restartInterval = 0
       while (sosAt < 0 && pos + 4 <= p.length && (p(pos) & 0xff) == 0xff) {
         val marker = p(pos + 1) & 0xff
         val len = rdBe16(p, pos + 2)
@@ -451,38 +601,66 @@ object Multimodal {
             var o = pos + 4
             while (o < pos + 2 + len) {
               if ((p(o) >> 4 & 0xf) != 0) return None
-              val tq = p(o) & 0xf
-              val tbl = Array.tabulate(64)(i => p(o + 1 + i) & 0xff)
-              if (tq == 0) q0 = tbl
+              qt(p(o) & 0x3) = Array.tabulate(64)(i => p(o + 1 + i) & 0xff)
               o += 65
             }
-          case 0xc4 => // DHT: rebuild canonical codes
+          case 0xc4 => // DHT: rebuild canonical codes per (class, id)
             var o = pos + 4
             while (o < pos + 2 + len) {
               val clazz = (p(o) >> 4) & 0xf
+              val tid = p(o) & 0x3
               val bits = Array.tabulate(16)(i => p(o + 1 + i) & 0xff)
               val nv = bits.sum
               val vals = Array.tabulate(nv)(i => p(o + 17 + i) & 0xff)
               val codes = canonicalCodes(bits, vals).map { case (sym, lc) => (lc, sym) }
-              if (clazz == 0) dcTab = codes else acTab = codes
+              if (clazz == 0) dcT(tid) = codes else acT(tid) = codes
               o += 17 + nv
             }
           case 0xc0 => // SOF0 baseline
             if ((p(pos + 4) & 0xff) != 8) return None
             h = rdBe16(p, pos + 5); w = rdBe16(p, pos + 7)
-            if ((p(pos + 9) & 0xff) != 1) return None       // 1 component
-            if ((p(pos + 11) & 0xff) != 0x11) return None   // 1×1 sampling
-            if ((p(pos + 12) & 0xff) != 0) return None      // Tq=0 — a legal
-            // JPEG selecting DQT table 1 must NOT be dequantized with table 0
+            ncomp = p(pos + 9) & 0xff
+            if (pos + 10 + 3 * ncomp > p.length) return None
+            compIds = new Array[Int](ncomp); compSamp = new Array[Int](ncomp); compTq = new Array[Int](ncomp)
+            var i = 0
+            while (i < ncomp) {
+              compIds(i) = p(pos + 10 + 3 * i) & 0xff
+              compSamp(i) = p(pos + 11 + 3 * i) & 0xff
+              compTq(i) = p(pos + 12 + 3 * i) & 0x3
+              i += 1
+            }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // non-baseline frame types unsupported
-          case 0xdd => return None // DRI/restart markers unsupported
-          case 0xda => sosAt = pos + 2 + len
+          case 0xdd => // DRI: restart interval in MCUs
+            if (len != 4) return None
+            restartInterval = rdBe16(p, pos + 4)
+          case 0xda => // SOS: per-component entropy table selectors
+            val ns = p(pos + 4) & 0xff
+            if (ncomp == 0 || ns != ncomp) return None
+            dcSel = new Array[Int](ncomp); acSel = new Array[Int](ncomp)
+            var i = 0
+            while (i < ns) {
+              val ci = compIds.indexOf(p(pos + 5 + 2 * i) & 0xff)
+              if (ci < 0) return None
+              dcSel(ci) = (p(pos + 6 + 2 * i) >> 4) & 0x3
+              acSel(ci) = p(pos + 6 + 2 * i) & 0x3
+              i += 1
+            }
+            sosAt = pos + 2 + len
           case _ => ()
         }
         pos += 2 + len
       }
-      if (sosAt < 0 || w <= 0 || h <= 0 || q0 == null || dcTab == null || acTab == null) return None
+      if (sosAt < 0 || w <= 0 || h <= 0) return None
+      val color =
+        if (ncomp == 1 && compSamp(0) == 0x11) false
+        else if (ncomp == 3 && compSamp(0) == 0x22 && compSamp(1) == 0x11 && compSamp(2) == 0x11) true
+        else return None
+      var c = 0
+      while (c < ncomp) {
+        if (qt(compTq(c)) == null || dcT(dcSel(c)) == null || acT(acSel(c)) == null) return None
+        c += 1
+      }
 
       // entropy bit reader with FF00 unstuffing; any other FFxx = stream end
       var bp = sosAt
@@ -517,49 +695,104 @@ object Multimodal {
       def extend(v: Int, t: Int): Int = if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
       def readBits(t: Int): Int = { var v = 0; var i = 0; while (i < t) { v = (v << 1) | readBit(); i += 1 }; v }
 
-      val nbx = (w + 7) / 8; val nby = (h + 7) / 8
-      var dc = 0
-      var sum = 0L
-      var prevCoef: Array[Long] = null
-      var prevGrid: Array[Int] = null
-      var by = 0
-      while (by < nby) {
-        var bx = 0
-        while (bx < nbx) {
-          val t = decodeSym(dcTab)
-          dc += extend(readBits(t), t)
-          val coef = new Array[Long](64)
-          coef(0) = dc.toLong * q0(0)
-          var k = 1
-          var eob = false
-          while (k <= 63 && !eob) {
-            val sym = decodeSym(acTab)
-            if (sym == 0) eob = true
-            else {
-              val run = (sym >> 4) & 0xf; val size = sym & 0xf
-              if (size == 0) {
-                if (run == 15) k += 16 else return None // only ZRL has size 0
-              } else {
-                k += run
-                if (k > 63) return None
-                coef(zigzag(k)) = extend(readBits(size), size).toLong * q0(k)
-                k += 1
-              }
+      val dcPred = new Array[Int](ncomp)
+      val prevCoef = new Array[Array[Long]](ncomp)
+      val prevGrid = new Array[Array[Int]](ncomp)
+      def decodeBlock(ci: Int): Array[Int] = {
+        val q = qt(compTq(ci))
+        val t = decodeSym(dcT(dcSel(ci)))
+        dcPred(ci) += extend(readBits(t), t)
+        val coef = new Array[Long](64)
+        coef(0) = dcPred(ci).toLong * q(0)
+        var k = 1
+        var eob = false
+        while (k <= 63 && !eob) {
+          val sym = decodeSym(acT(acSel(ci)))
+          if (sym == 0) eob = true
+          else {
+            val run = (sym >> 4) & 0xf; val size = sym & 0xf
+            if (size == 0) {
+              if (run == 15) k += 16 else throw new IllegalStateException("bad AC") // only ZRL
+            } else {
+              k += run
+              if (k > 63) throw new IllegalStateException("bad AC run")
+              coef(zigzag(k)) = extend(readBits(size), size).toLong * q(k)
+              k += 1
             }
           }
-          val grid =
-            if (prevCoef != null && java.util.Arrays.equals(coef, prevCoef)) prevGrid
-            else { val g = idctPixels(coef); prevCoef = coef; prevGrid = g; g }
-          val visW = math.min(8, w - bx * 8); val visH = math.min(8, h - by * 8)
-          var yy = 0
-          while (yy < visH) {
-            var xx = 0
-            while (xx < visW) { sum += grid(yy * 8 + xx); xx += 1 }
-            yy += 1
-          }
-          bx += 1
         }
-        by += 1
+        if (prevCoef(ci) != null && java.util.Arrays.equals(coef, prevCoef(ci))) prevGrid(ci)
+        else { val g = idctPixels(coef); prevCoef(ci) = coef; prevGrid(ci) = g; g }
+      }
+      var sinceRestart = 0
+      var rstIdx = 0
+      def restartBoundary(): Boolean = {
+        // segment boundary: drop padding bits, consume the expected CYCLIC
+        // RSTn, reset every DC predictor
+        nbits = 0
+        if (bp + 1 >= p.length || (p(bp) & 0xff) != 0xff ||
+            (p(bp + 1) & 0xff) != 0xd0 + (rstIdx % 8)) return false
+        bp += 2; rstIdx += 1; sinceRestart = 0
+        java.util.Arrays.fill(dcPred, 0)
+        true
+      }
+
+      var sum = 0L
+      if (!color) {
+        val nbx = (w + 7) / 8; val nby = (h + 7) / 8
+        var by = 0
+        while (by < nby) {
+          var bx = 0
+          while (bx < nbx) {
+            if (restartInterval > 0 && sinceRestart == restartInterval && !restartBoundary()) return None
+            val grid = decodeBlock(0)
+            val visW = math.min(8, w - bx * 8); val visH = math.min(8, h - by * 8)
+            var yy = 0
+            while (yy < visH) {
+              var xx = 0
+              while (xx < visW) { sum += grid(yy * 8 + xx); xx += 1 }
+              yy += 1
+            }
+            bx += 1
+            sinceRestart += 1
+          }
+          by += 1
+        }
+      } else {
+        val (c1402, c344, c714, c1772) = yccToRgb
+        val nmx = (w + 15) / 16; val nmy = (h + 15) / 16
+        var my = 0
+        while (my < nmy) {
+          var mx = 0
+          while (mx < nmx) {
+            if (restartInterval > 0 && sinceRestart == restartInterval && !restartBoundary()) return None
+            val y00 = decodeBlock(0); val y01 = decodeBlock(0)
+            val y10 = decodeBlock(0); val y11 = decodeBlock(0)
+            val cbg = decodeBlock(1); val crg = decodeBlock(2)
+            val visW = math.min(16, w - mx * 16); val visH = math.min(16, h - my * 16)
+            var ly = 0
+            while (ly < visH) {
+              var lx = 0
+              while (lx < visW) {
+                val yb = if (ly < 8) { if (lx < 8) y00 else y01 } else { if (lx < 8) y10 else y11 }
+                val yv = yb((ly % 8) * 8 + (lx % 8))
+                val co = (ly / 2) * 8 + lx / 2 // 2× nearest chroma upsample
+                val cb = cbg(co) - 128
+                val cr = crg(co) - 128
+                def rnd16(v: Long): Int = Math.floorDiv(v + 32768L, 65536L).toInt
+                def clamp(v: Int): Int = math.max(0, math.min(255, v))
+                sum += clamp(yv + rnd16(c1402 * cr))
+                sum += clamp(yv - rnd16(c344 * cb + c714 * cr))
+                sum += clamp(yv + rnd16(c1772 * cb))
+                lx += 1
+              }
+              ly += 1
+            }
+            mx += 1
+            sinceRestart += 1
+          }
+          my += 1
+        }
       }
       Some(sum)
     } catch { case _: Exception => None }
@@ -751,7 +984,9 @@ object Multimodal {
         if (i % 17 == 0) Array[Byte](1, 2, 3)
         else kind match {
           case "png" => pngBytes(i, w, h)
-          case "jpg" => jpegBytes(i, w, h)
+          // jpg rows split evenly between grayscale (i%6==1, half with DRI
+          // restart markers) and YCbCr 4:2:0 color (i%6==4)
+          case "jpg" => if (i % 6 == 4) jpegColorBytes(i, w, h) else jpegBytes(i, w, h)
           case _ => wavBytes(i, sr, ch)
         }
       MediaRow(i, kind, payload)

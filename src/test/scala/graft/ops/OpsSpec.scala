@@ -557,9 +557,46 @@ class OpsSpec extends SparkSpec {
     val m = (id % 16).toInt
     val t = if (m == 0) 0 else 7 + (31 - Integer.numberOfLeadingZeros(m))
     def szBits(v: Int): Int = if (v == 0) 0 else 3 + (32 - Integer.numberOfLeadingZeros(math.abs(v)))
-    val acbits = 3 + szBits(Multimodal.jpegAc1(id)) + szBits(Multimodal.jpegAc2(id))
+    val bpm = 4 + 3 + szBits(Multimodal.jpegAc1(id)) + szBits(Multimodal.jpegAc2(id))
     val nb = ((w + 7) / 8).toLong * ((h + 7) / 8)
-    175 + ((nb * (4 + acbits) + t + 7) / 8)
+    val r = Multimodal.jpegRestartInterval(id)
+    if (r == 0) 175 + ((nb * bpm + t + 7) / 8)
+    else {
+      // DRI: +6 header; nseg byte-aligned segments, each paying the DC
+      // category magnitude t once (predictor reset), + 2 bytes per RSTn
+      val nseg = (nb + r - 1) / r
+      val rlast = nb - (nseg - 1) * r
+      181 + (nseg - 1) * ((r * bpm + t + 7) / 8 + 2) + ((rlast * bpm + t + 7) / 8)
+    }
+  }
+
+  // independent color replay: same luma cell as jpegExpectedPixel, flat
+  // chroma, JFIF fixed-point conversion with HARDCODED constants (second
+  // derivation vs Multimodal.yccToRgb)
+  private def jpegColorPixel(id: Long, x: Int, y: Int): Long = {
+    val yv = jpegExpectedPixel(id, x, y)
+    val cb = 4L * ((id % 9) - 4)
+    val cr = 4L * ((id % 11) - 5)
+    def rnd16(v: Long) = Math.floorDiv(v + 32768L, 65536L)
+    def cl(v: Long) = math.max(0L, math.min(255L, v))
+    cl(yv + rnd16(91881L * cr)) + cl(yv - rnd16(22553L * cb + 46802L * cr)) +
+      cl(yv + rnd16(116130L * cb))
+  }
+  private def jpegColorSum(id: Long, w: Int, h: Int): Long =
+    (for (y <- 0 until 8; x <- 0 until 8) yield
+      jpegColorPixel(id, x, y) *
+        (w / 8 + (if (x < w % 8) 1 else 0)) *
+        (h / 8 + (if (y < h % 8) 1 else 0))).sum
+  private def jpegColorLen(id: Long, w: Int, h: Int): Long = {
+    val m = (id % 16).toInt
+    val ty = if (m == 0) 0 else 7 + (31 - Integer.numberOfLeadingZeros(m))
+    def szBits(v: Int): Int = if (v == 0) 0 else 3 + (32 - Integer.numberOfLeadingZeros(math.abs(v)))
+    val bpm = 4 + 3 + szBits(Multimodal.jpegAc1(id)) + szBits(Multimodal.jpegAc2(id))
+    def tOf(dc: Int): Int = if (dc == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(dc))
+    val tcb = tOf(8 * (Multimodal.jpegCb(id) - 128))
+    val tcr = tOf(8 * (Multimodal.jpegCr(id) - 128))
+    val nmcu = ((w + 15) / 16).toLong * ((h + 15) / 16)
+    311 + (nmcu * (4 * bpm + 14) + ty + tcb + tcr + 7) / 8
   }
 
   test("multimodal: JPEG Huffman+IDCT decode recovers exact pixel sums (AC ripples included)") {
@@ -604,10 +641,49 @@ class OpsSpec extends SparkSpec {
       assert(Multimodal.jpegBytes(id, w, h).length == jpegExpectedLen(id, w, h),
         s"byte length formula broke for id=$id ${w}x$h")
     }
+    // the round-trip ids above mix restart-marker and plain streams
+    assert(Seq(0L, 15L, 16L, 5L, 17L, 30L).forall(Multimodal.jpegRestartInterval(_) > 0))
+    assert(Seq(7L, 12L, 23L).forall(Multimodal.jpegRestartInterval(_) == 0))
+    // restart markers really on the wire: a DRI image carries exactly
+    // nseg-1 cyclic RSTn byte pairs, and breaking the cycle fails cleanly
+    val driBytes = Multimodal.jpegBytes(16L, 40, 24) // r=2, nb=15 → 7 markers
+    def rstPositions(b: Array[Byte]): Seq[Int] = (0 until b.length - 1).filter(i =>
+      (b(i) & 0xff) == 0xff && ((b(i + 1) & 0xff) & 0xf8) == 0xd0)
+    assert(rstPositions(driBytes).length == 7)
+    val broken = driBytes.clone()
+    broken(rstPositions(driBytes).head + 1) = 0xd7.toByte // out-of-cycle RSTn
+    assert(Multimodal.decodeJpegPixels(broken).isEmpty)
     // truncated entropy stream and garbage fail cleanly
     val good = Multimodal.jpegBytes(3L, 32, 32)
     assert(Multimodal.decodeJpegPixels(good.take(good.length - 20)).isEmpty)
     assert(Multimodal.decodeJpegPixels(Multimodal.wavBytes(1L, 8000, 1)).isEmpty)
+  }
+
+  test("multimodal: color JPEG (YCbCr 4:2:0) — interleaved MCUs, chroma upsample, fixed-point RGB") {
+    // round-trip against the independent replay, covering edge MCUs
+    // (non-multiple-of-16 dims), zero-DC luma, all chroma sign classes
+    for ((id, w, h) <- Seq((4L, 16, 16), (10L, 575, 303), (16L, 64, 48), (22L, 13, 9),
+      (28L, 40, 30), (34L, 100, 100), (58L, 33, 17), (0L, 24, 24))) {
+      val bytes = Multimodal.jpegColorBytes(id, w, h)
+      assert(Multimodal.decodeJpeg(bytes) == Some((w, h)))
+      assert(Multimodal.decodeJpegPixels(bytes) == Some(jpegColorSum(id, w, h)),
+        s"color pixel sum mismatch id=$id ${w}x$h")
+      assert(bytes.length == jpegColorLen(id, w, h), s"color byte length broke id=$id ${w}x$h")
+    }
+    // neutral-chroma cross-check: Cb=Cr=128 (id ≡ 49 mod 99) → R=G=B=Y, so
+    // the color statistic must equal EXACTLY 3× the grayscale one — ties
+    // the color path to the independently-validated luma path
+    assert(Multimodal.jpegCb(49L) == 128 && Multimodal.jpegCr(49L) == 128)
+    assert(Multimodal.decodeJpegPixels(Multimodal.jpegColorBytes(49L, 32, 32)) ==
+      Some(3L * jpegExpectedSum(49L, 32, 32)))
+    // non-neutral chroma must MOVE the statistic away from 3×gray
+    assert(Multimodal.decodeJpegPixels(Multimodal.jpegColorBytes(4L, 32, 32)) !=
+      Some(3L * jpegExpectedSum(4L, 32, 32)))
+    // engine conversion constants = the test's hardcoded second source
+    assert(Multimodal.yccToRgb == ((91881L, 22553L, 46802L, 116130L)))
+    // truncation fails cleanly
+    val cg = Multimodal.jpegColorBytes(10L, 48, 48)
+    assert(Multimodal.decodeJpegPixels(cg.take(cg.length - 20)).isEmpty)
   }
 
   test("multimodal: resize + video frame-sample on really-decoded pixels") {
@@ -717,6 +793,7 @@ class OpsSpec extends SparkSpec {
     }
     assert(valid.forall(f => f.kind match {
       case "png" => f.n_bytes == pngBytesLen(f.width, f.height)
+      case "jpg" if f.media_id % 6 == 4 => f.n_bytes == jpegColorLen(f.media_id, f.width, f.height)
       case "jpg" => f.n_bytes == jpegExpectedLen(f.media_id, f.width, f.height)
       case _ => f.n_bytes == 108L
     }))
@@ -727,9 +804,10 @@ class OpsSpec extends SparkSpec {
       f.pixel_sum == expect
     })
     // ...and every valid jpeg's (entropy-decoded + fixed-point IDCT, AC
-    // ripples included)
+    // ripples included; color rows through the 4:2:0 + RGB path)
     assert(valid.filter(_.kind == "jpg").forall { f =>
-      f.pixel_sum == jpegExpectedSum(f.media_id, f.width, f.height)
+      f.pixel_sum == (if (f.media_id % 6 == 4) jpegColorSum(f.media_id, f.width, f.height)
+                      else jpegExpectedSum(f.media_id, f.width, f.height))
     })
     assert(valid.filter(_.kind == "wav").forall(_.pixel_sum == 0L))
     // determinism
