@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * mass quadratic in corpus size — any algorithm's PAIR COUNT explodes on
   * it, which is a corpus property; the guardrail keeps the probe measuring
   * the algorithm, and the dropped-bucket accounting is printed).
-  * Usage: runMain graft.tools.DataScaleProbe [nBase] [reps]
+  * Usage: runMain graft.tools.DataScaleProbe [nBase] [reps] [opFilter]
+  * (opFilter: comma-separated op names — re-measure a single op after a
+  * steal burst without paying for the full matrix)
   */
 object DataScaleProbe {
   def main(args: Array[String]): Unit = {
     val nBase = args.lift(0).map(_.toLong).getOrElse(50000L)
     val reps = args.lift(1).map(_.toInt).getOrElse(3)
+    val opFilter = args.lift(2).map(_.split(",").toSet)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -63,25 +66,33 @@ object DataScaleProbe {
         .join(docs, Seq("doc_id")).localCheckpoint()
       println(s"n=$n canonical=${canonical.count()}")
 
+      def enabled(op: String): Boolean = opFilter.forall(_.contains(op))
       def record(op: String)(f: => Long): Unit = {
-        val (sec, rows) = timeOp(f)
-        results += Res(op, n, sec, rows)
-        println(f"n=$n%-8d $op%-16s $sec%7.2f s  rows=$rows")
+        if (enabled(op)) {
+          val (sec, rows) = timeOp(f)
+          results += Res(op, n, sec, rows)
+          println(f"n=$n%-8d $op%-16s $sec%7.2f s  rows=$rows")
+        }
       }
       record("exact_dedup")(TextOps.exactDedup(docs).count())
       record("lsh_candidates")(NearDup.lshCandidates(
         NearDup.lshBands(NearDup.minhashSignatures(canonical)), maxBucket = 64).count())
-      val scaled = NearDup.lshVerifiedPairsScaled(canonical, 0.8, maxBucket = 64)
-      record("lsh_verified")(scaled.pairs.count())
-      println(s"n=$n lsh_verified drops: ${scaled.logDrops()}")
+      if (enabled("lsh_verified")) {
+        // construction guarded too: lshVerifiedPairsScaled localCheckpoints eagerly
+        val scaled = NearDup.lshVerifiedPairsScaled(canonical, 0.8, maxBucket = 64)
+        record("lsh_verified")(scaled.pairs.count())
+        println(s"n=$n lsh_verified drops: ${scaled.logDrops()}")
+      }
       record("simhash_neardup")(NearDup.simhashNearDupPairs(
         canonical, maxHamming = 4, maxBucket = 64).count())
-      val embScaled = graft.ops.Similarity.cosineNearDupPairsScaled(
-        graft.ops.Similarity.hashedEmbeddings(canonical), 0.95,
-        planes = 12, tables = 4, idCol = "doc_id", embCol = "emb",
-        dim = 64, maxBucket = 512)
-      record("embedding_neardup")(embScaled.pairs.count())
-      println(s"n=$n embedding_neardup drops: ${embScaled.logDrops()}")
+      if (enabled("embedding_neardup")) {
+        val embScaled = graft.ops.Similarity.cosineNearDupPairsScaled(
+          graft.ops.Similarity.hashedEmbeddings(canonical), 0.95,
+          planes = 12, tables = 4, idCol = "doc_id", embCol = "emb",
+          dim = 64, maxBucket = 512)
+        record("embedding_neardup")(embScaled.pairs.count())
+        println(s"n=$n embedding_neardup drops: ${embScaled.logDrops()}")
+      }
       record("kg_triples")(Pipeline.docGraphs(spark,
         Corpus.pages(spark, n, partitions = 128))
         .flatMap(g => GraphBuild.triples(g)).count())
