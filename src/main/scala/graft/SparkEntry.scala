@@ -139,6 +139,25 @@ object SparkEntry {
     "q47_winnowing_fingerprints" -> ((s, dir) =>
       TextOps.winnowingFingerprints(t(s, dir, "documents"))),
 
+    // C4-style exact span dedup: 10-token non-overlapping spans, first
+    // occurrence in (doc_id, chunk_idx) order wins.
+    "q50_span_dedup" -> ((s, dir) => TextOps.spanDedup(t(s, dir, "documents"))),
+
+    // Gopher doc-level quality filters. Stopword list = the en lang-ID
+    // list ('the a and of to'): Gopher's own eight English words are
+    // corpus-specific by design, and with this list the distinct-stopword
+    // rule actually varies on the driver corpus ('the'/'a' present).
+    "q51_gopher_quality" -> ((s, dir) =>
+      TextOps.gopherQualityFilters(t(s, dir, "documents"),
+        stopwords = TextOps.langStopwords.toMap.apply("en"))),
+
+    // Per-source boilerplate spans (CCNet/RefinedWeb site-repeat rule over
+    // token bigrams): span in >= 2 docs AND >= 20% of the source's docs.
+    "q52_boilerplate_spans" -> ((s, dir) => TextOps.boilerplateSpans(t(s, dir, "documents"))),
+
+    // Corpus-unigram LM quality score (KenLM-perplexity stand-in).
+    "q53_unigram_logprob" -> ((s, dir) => TextOps.unigramLogProb(t(s, dir, "documents"))),
+
     "q13_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val votes = TextOps.langVotes(col("text"))
@@ -724,6 +743,74 @@ object SparkEntry {
               'fp': list_min(list_slice(h, s, s + 3))})) AS u
            FROM hs)
          SELECT DISTINCT doc_id, CAST(u.pos AS INTEGER) AS pos, CAST(u.fp AS BIGINT) AS fp FROM sel""",
+
+    // Span dedup replay: same 10-token chunks, same md5, first occurrence =
+    // lexicographic min of (doc_id, chunk_idx) as a struct in both engines.
+    "q50_span_dedup" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         ch AS (SELECT doc_id, i AS chunk_idx,
+                  array_to_string(l[(i-1)*10+1 : least(i*10, len(l))], ' ') AS chunk,
+                  least(i*10, len(l)) - (i-1)*10 AS n_toks
+                FROM tk, LATERAL (SELECT unnest(generate_series(1, CAST(ceil(len(l)/10.0) AS INT))) AS i)),
+         fst AS (SELECT md5(chunk) AS h, min(struct_pack(d := doc_id, i := chunk_idx)) AS f FROM ch GROUP BY 1),
+         agg AS (SELECT c.doc_id, count(*) AS n_chunks,
+                   CAST(sum(CASE WHEN c.doc_id = struct_extract(f.f, 'd') AND c.chunk_idx = struct_extract(f.f, 'i') THEN 0 ELSE 1 END) AS BIGINT) AS n_dup_chunks,
+                   CAST(sum(CASE WHEN c.doc_id = struct_extract(f.f, 'd') AND c.chunk_idx = struct_extract(f.f, 'i') THEN 0 ELSE c.n_toks END) AS BIGINT) AS n_tokens_removed
+                 FROM ch c JOIN fst f ON md5(c.chunk) = f.h GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_chunks, 0) AS n_chunks,
+                coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+                coalesce(n_tokens_removed, 0) AS n_tokens_removed
+         FROM documents d LEFT JOIN agg USING (doc_id)""",
+
+    "q51_gopher_quality" -> {
+      val sw = TextOps.langStopwords.toMap.apply("en").map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '') AS l FROM documents),
+         st AS (SELECT doc_id,
+                  CAST(len(l) AS BIGINT) AS n_tokens,
+                  CAST(length(array_to_string(l, '')) AS BIGINT) AS tok_chars,
+                  CAST(len(list_filter(l, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+                  CAST(len(list_intersect(list_distinct(l), $sw)) AS BIGINT) AS n_stopwords
+                FROM tk),
+         r AS (SELECT doc_id, n_tokens,
+                 round(CASE WHEN n_tokens > 0 THEN tok_chars * 1.0 / n_tokens ELSE 0.0 END, 6) AS mean_word_len,
+                 round(CASE WHEN n_tokens > 0 THEN n_alpha * 1.0 / n_tokens ELSE 0.0 END, 6) AS alpha_frac,
+                 n_stopwords FROM st)
+         SELECT doc_id, n_tokens, mean_word_len, alpha_frac, n_stopwords,
+           n_tokens >= 50 AND n_tokens <= 100000 AS tokens_ok,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS mwl_ok,
+           alpha_frac >= 0.8 AS alpha_ok,
+           n_stopwords >= 2 AS stop_ok,
+           (n_tokens >= 50 AND n_tokens <= 100000) AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND alpha_frac >= 0.8 AND n_stopwords >= 2 AS keep
+         FROM r"""
+    },
+
+    "q52_boilerplate_spans" ->
+      """WITH tk AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         sp AS (SELECT DISTINCT doc_id, source, array_to_string(l[i : i+1], ' ') AS s
+                FROM tk, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) WHERE len(l) >= 2),
+         gs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         fr AS (SELECT source, s, count(*) AS c FROM sp GROUP BY 1, 2),
+         bo AS (SELECT f.source, f.s FROM fr f JOIN gs USING (source)
+                WHERE c >= 2 AND c * 1.0 / n_docs >= 0.2),
+         agg AS (SELECT sp.doc_id, count(*) AS n_spans,
+                   CAST(sum(CASE WHEN bo.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+                 FROM sp LEFT JOIN bo ON sp.source = bo.source AND sp.s = bo.s GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_spans, 0) AS n_spans,
+                coalesce(n_boiler, 0) AS n_boiler_spans,
+                round(coalesce(n_boiler * 1.0 / n_spans, 0.0), 6) AS boiler_frac
+         FROM documents d LEFT JOIN agg USING (doc_id)""",
+
+    "q53_unigram_logprob" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok FROM tk),
+         v AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v),
+         agg AS (SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(log10(c * 1.0 / t)), 6) AS avg_logprob
+                 FROM toks CROSS JOIN tot JOIN v USING (tok) GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, avg_logprob
+         FROM documents d LEFT JOIN agg USING (doc_id)""",
 
     "q13_langid" -> {
       def occ(w: String) =

@@ -272,4 +272,159 @@ object TextOps {
         (col(idCol) =!= col("canonical_doc_id")).as("is_duplicate"),
         col("group_size"))
   }
+
+  /** C4-style exact span dedup (Raffel et al. 2020 §2.2 — C4 removed all
+    * but one occurrence of any three-sentence span; this corpus has no
+    * sentence boundaries, so the span unit is `span` consecutive tokens,
+    * non-overlapping, trailing partial kept). First occurrence in corpus
+    * order wins: the occurrence with the lexicographically smallest
+    * (doc_id, chunk_idx) is canonical, every other identical span is a
+    * duplicate. Output per document: total chunks, duplicate chunks, and
+    * tokens a C4-style rewrite would remove. Docs with no tokens keep a
+    * zeroed row.
+    *
+    * 100 TB shape: one narrow chunk projection (token array materialized
+    * BEFORE the slice lambda — no-CSE discipline), one groupBy on the
+    * 32-char chunk hash (uniform keys, map-side partial min), one join
+    * back on the same hash, one per-doc aggregation.
+    */
+  def spanDedup(docs: DataFrame, span: Int = 10,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val chunks = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      // guard: sequence(1, 0) counts DOWN — empty docs must not fabricate chunks
+      .selectExpr("doc_id",
+        s"""case when size(toks) >= 1 then
+              transform(sequence(1, cast(ceil(size(toks) / $span.0) as int)),
+                        i -> slice(toks, (i - 1) * $span + 1, $span))
+            else cast(array() as array<array<string>>) end as chs""")
+      .select(col("doc_id"), posexplode(col("chs")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("chunk_idx"),
+        md5(concat_ws(" ", col("col"))).as("h"),
+        size(col("col")).cast("long").as("n_toks"))
+    val first = chunks.groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("f"))
+    val flagged = chunks.join(first, Seq("h"))
+      .select(col("doc_id"), col("n_toks"),
+        (!(col("doc_id") === col("f.doc_id") && col("chunk_idx") === col("f.chunk_idx")))
+          .as("is_dup"))
+    val agg = flagged.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_chunks"),
+      sum(when(col("is_dup"), col("n_toks")).otherwise(0L)).as("n_tokens_removed"))
+    ids.join(agg, Seq("doc_id"), "left").select(
+      col("doc_id"),
+      coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+      coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+      coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"))
+  }
+
+  /** Gopher document-level quality filters (Rae et al. 2021 §A1.1, the
+    * doc-level companion of `repetitionStats`): token-count bounds, mean
+    * word length bounds, minimum fraction of tokens containing an
+    * alphabetic character, and the "contains at least `minStopwords`
+    * DISTINCT stopwords" rule. Pure Column expressions (codegen, zero
+    * shuffle); the stopword list is a parameter because Gopher's eight
+    * English words are corpus-specific by design.
+    */
+  def gopherQualityFilters(docs: DataFrame,
+                           stopwords: Seq[String],
+                           minTokens: Long = 50, maxTokens: Long = 100000,
+                           minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                           minAlphaFrac: Double = 0.8, minStopwords: Int = 2,
+                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val swArr = array(stopwords.map(lit): _*)
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(concat_ws("", col("toks"))).cast("long").as("tok_chars"),
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(array_intersect(array_distinct(col("toks")), swArr)).cast("long").as("n_stopwords"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(when(col("n_tokens") > 0,
+          col("tok_chars").cast("double") / col("n_tokens")).otherwise(0.0), 6)
+          .as("mean_word_len"),
+        round(when(col("n_tokens") > 0,
+          col("n_alpha").cast("double") / col("n_tokens")).otherwise(0.0), 6)
+          .as("alpha_frac"),
+        col("n_stopwords"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_word_len"),
+        col("alpha_frac"), col("n_stopwords"),
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).as("tokens_ok"),
+        (col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen)
+          .as("mwl_ok"),
+        (col("alpha_frac") >= minAlphaFrac).as("alpha_ok"),
+        (col("n_stopwords") >= minStopwords).as("stop_ok"))
+      .withColumn("keep",
+        col("tokens_ok") && col("mwl_ok") && col("alpha_ok") && col("stop_ok"))
+  }
+
+  /** Per-group boilerplate span detection (the CCNet/RefinedWeb "strip
+    * content repeated across a site" rule, re-expressed over token
+    * `k`-gram spans because this corpus has no line structure): a span is
+    * boilerplate within its group (e.g. `source` = the site/domain) when it
+    * occurs in at least `minDocs` documents AND at least `minFrac` of the
+    * group's documents. Output per document: distinct spans, boilerplate
+    * spans, boilerplate fraction.
+    *
+    * 100 TB shape: per-doc-distinct spans via `array_distinct` INSIDE the
+    * array (zero exchange — the measured MinhashProbe discipline), one
+    * groupBy on (group, span) with uniform keys, the per-group doc-count
+    * dimension broadcast (#groups ≪ corpus), one per-doc aggregation.
+    */
+  def boilerplateSpans(docs: DataFrame, groupCol: String = "source", k: Int = 2,
+                       minDocs: Long = 2, minFrac: Double = 0.2,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val spans = docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("grp"),
+        explode(array_distinct(NearDup.shingleArr(col("toks"), k))).as("s"))
+    val groupSizes = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    val freq = spans.groupBy(col("grp"), col("s")).agg(count(lit(1)).as("c"))
+    val boiler = freq.join(broadcast(groupSizes), Seq("grp"))
+      .where(col("c") >= minDocs &&
+        col("c").cast("double") / col("n_docs") >= minFrac)
+      .select(col("grp"), col("s"), lit(true).as("is_boiler"))
+    val agg = spans.join(boiler, Seq("grp", "s"), "left")
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler_spans"))
+    ids.join(agg, Seq("doc_id"), "left").select(
+      col("doc_id"),
+      coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+      coalesce(col("n_boiler_spans"), lit(0L)).as("n_boiler_spans"),
+      round(coalesce(col("n_boiler_spans").cast("double") / col("n_spans"), lit(0.0)), 6)
+        .as("boiler_frac"))
+  }
+
+  /** Corpus-unigram language-model quality score (the cheap stand-in for
+    * KenLM perplexity filtering à la CCNet): p(tok) = corpus count / total
+    * tokens, per-document score = mean log10 p over its tokens (higher =
+    * more typical of the corpus). Deterministic — the model is the corpus
+    * itself.
+    *
+    * 100 TB shape: one token explode, one vocabulary aggregation (token
+    * keys, uniform; Heaps' law keeps the vocab ≪ corpus), the 1-row total
+    * broadcast, one join back on token, one per-doc aggregation. Docs with
+    * no tokens keep a row (null score).
+    */
+  def unigramLogProb(docs: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("t"))
+    val scored = toks.join(vocab, Seq("tok")).crossJoin(broadcast(total))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log10(col("c").cast("double") / col("t"))), 6).as("avg_logprob"))
+    ids.join(scored, Seq("doc_id"), "left").select(
+      col("doc_id"),
+      coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+      col("avg_logprob"))
+  }
 }

@@ -134,6 +134,70 @@ class OpsSpec extends SparkSpec {
     assert((f1 & f2).nonEmpty)
   }
 
+  test("spanDedup: first occurrence wins across docs, within a doc, partial chunks, empty docs") {
+    val d = docs(
+      1L -> "a b c d e f g",   // chunks (span=3): [a b c][d e f][g]
+      2L -> "a b c x y z",     // [a b c] duplicates doc1 chunk 1
+      3L -> "g",               // [g] duplicates doc1's trailing partial chunk
+      4L -> "p q r p q r",     // within-doc: chunk 2 duplicates chunk 1
+      5L -> "")                // no tokens -> zeroed row survives
+    val out = TextOps.spanDedup(d, span = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L), (2L, 2L, 1L, 3L), (3L, 1L, 1L, 1L),
+      (4L, 2L, 1L, 3L), (5L, 0L, 0L, 0L)))
+  }
+
+  test("gopherQualityFilters: every flag trips on its own fixture; stopwords are DISTINCT") {
+    val d = docs(
+      1L -> "the a cat",       // all pass
+      2L -> "the the the",     // only 1 DISTINCT stopword -> stop_ok false
+      3L -> "a 12 34 56",      // alpha 1/4 < 0.75; mwl 1.75 < 2 -> both false
+      4L -> "x",               // 1 token < min 2 -> tokens_ok false
+      5L -> "the a b c d e")   // 6 tokens > max 5 -> tokens_ok false
+    val out = TextOps.gopherQualityFilters(d, stopwords = Seq("the", "a"),
+      minTokens = 2, maxTokens = 5, minMeanWordLen = 2.0, maxMeanWordLen = 4.0,
+      minAlphaFrac = 0.75, minStopwords = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+        r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8), r.getBoolean(9))))
+      .toMap
+    assert(out(1L) == ((3L, 2.333333, 1.0, 2L, true, true, true, true, true)))
+    assert(out(2L) == ((3L, 3.0, 1.0, 1L, true, true, true, false, false)))
+    assert(out(3L) == ((4L, 1.75, 0.25, 1L, true, false, false, false, false)))
+    assert(out(4L)._1 == 1L && !out(4L)._5 && !out(4L)._9)
+    assert(out(5L)._1 == 6L && !out(5L)._5 && !out(5L)._9)
+  }
+
+  test("boilerplateSpans: group-scoped frequency, per-doc-distinct spans, minDocs floor") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "srcA", "x y z"),     // bigrams {x y, y z}
+      (2L, "srcA", "x y q"),     // {x y, y q}
+      (3L, "srcA", "m n"),       // {m n}
+      (6L, "srcA", "x y x y"),   // {x y, y x} after per-doc distinct
+      (4L, "srcB", "x y w"),     // 'x y' is 1/1 of srcB but minDocs=2 -> NOT boiler
+      (5L, "srcB", "k")          // no bigrams -> zeroed row
+    ).toDF("doc_id", "source", "text")
+    // srcA has 4 docs; 'x y' occurs in 3 of them (0.75 >= 0.5, >= 2 docs) -> boiler
+    val out = TextOps.boilerplateSpans(d, k = 2, minDocs = 2, minFrac = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 1L, 0L, 0.0),
+      (4L, 2L, 0L, 0.0), (5L, 0L, 0L, 0.0), (6L, 2L, 1L, 0.5)))
+  }
+
+  test("unigramLogProb: corpus-global model, per-doc mean log10 p, empty doc keeps null row") {
+    val d = docs(1L -> "a a a b", 2L -> "b", 3L -> "")
+    // counts: a=3, b=2, total=5
+    val out = TextOps.unigramLogProb(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = r6((3 * math.log10(3.0 / 5) + math.log10(2.0 / 5)) / 4)
+    val exp2 = r6(math.log10(2.0 / 5))
+    assert(out.toSeq == Seq((1L, 4L, Some(exp1)), (2L, 1L, Some(exp2)), (3L, 0L, None)))
+  }
+
   test("minhash signatures identical for identical shingle sets, differ otherwise") {
     val d = docs(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "z y x w v")
     val sig = NearDup.minhashSignatures(d, k = 4).collect()
