@@ -209,7 +209,9 @@ object Bench {
       "q44_embedding_neardup", "q23_ann_cosine_topk",
       "q35_ann_ivf_topk", "q25_kg_pipeline_triples", "q39_v1_smoothed_triples",
       "q37_ner_mentions", "q38_entity_linking", "q40_repetition_stats",
-      "q41_sessionization")
+      "q41_sessionization", "q50_span_dedup", "q51_gopher_quality",
+      "q52_boilerplate_spans", "q53_unigram_logprob", "q54_pagerank",
+      "q55_tfidf_topk", "q56_hll_distinct")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

@@ -2,7 +2,7 @@ package graft
 
 import graft.corpus.Corpus
 import graft.kg.Pipeline
-import graft.ops.{Multimodal, NearDup, Similarity, TextOps}
+import graft.ops.{Multimodal, NearDup, Similarity, Sketch, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -157,6 +157,23 @@ object SparkEntry {
 
     // Corpus-unigram LM quality score (KenLM-perplexity stand-in).
     "q53_unigram_logprob" -> ((s, dir) => TextOps.unigramLogProb(t(s, dir, "documents"))),
+
+    // PageRank over the KG edges (10 damped power iterations) — centrality
+    // beyond q20/q21 degree counting.
+    "q54_pagerank" -> ((s, dir) =>
+      graft.graph.PageRank.pageRank(s, queries("q19_kg_edges")(s, dir))),
+
+    // Per-doc top-3 terms by smoothed TF-IDF.
+    "q55_tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(t(s, dir, "documents"))),
+
+    // Deterministic portable HyperLogLog: distinct bigram spans per source,
+    // exact count alongside — the full estimator is oracle-replayed.
+    "q56_hll_distinct" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(NearDup.shingleArr(col("toks"), 2)).as("s"))
+      Sketch.hllDistinct(spans, "source", "s")
+    }),
 
     "q13_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -811,6 +828,84 @@ object SparkEntry {
                  FROM toks CROSS JOIN tot JOIN v USING (tok) GROUP BY 1)
          SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens, avg_logprob
          FROM documents d LEFT JOIN agg USING (doc_id)""",
+
+    // PageRank replay: the 10 power iterations unrolled as generated CTEs —
+    // identical init, teleport (written as (1.0 - 0.85), matching the
+    // engine's (1.0 - d) double arithmetic), dangling redistribution, and
+    // final 6dp rounding. Every CTE is MATERIALIZED: each iteration
+    // references its predecessor twice (inflow + dangling mass), so inlined
+    // CTEs would expand 2^10 copies of the base scans and blow the fd limit.
+    "q54_pagerank" -> {
+      val edgeSql =
+        """SELECT 'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16) AS src,
+                  'node_' || substr(sha256('tpch:region:' || r_name), 1, 16) AS dst
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'node_' || substr(sha256('tpch:customer:' || c_name), 1, 16),
+                  'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16)
+           FROM customer JOIN nation ON c_nationkey = n_nationkey"""
+      val iterCtes = (1 to 10).map { i =>
+        s"""pr$i AS MATERIALIZED (
+           SELECT nodes.id,
+                  ((1.0 - 0.85) / nn.n) + 0.85 * (coalesce(inf.inflow, 0.0) + dg.dm / nn.n) AS r
+           FROM nodes CROSS JOIN nn
+           LEFT JOIN (SELECT e.dst AS id, sum(p.r / od.odeg) AS inflow
+                      FROM e JOIN pr${i - 1} p ON e.src = p.id
+                             JOIN od ON e.src = od.src GROUP BY 1) inf ON nodes.id = inf.id
+           CROSS JOIN (SELECT coalesce(sum(p.r), 0.0) AS dm
+                       FROM pr${i - 1} p LEFT JOIN od ON p.id = od.src
+                       WHERE od.src IS NULL) dg)"""
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED ($edgeSql),
+         nodes AS MATERIALIZED (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         od AS MATERIALIZED (SELECT src, count(*) AS odeg FROM e GROUP BY 1),
+         pr0 AS MATERIALIZED (SELECT id, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+         $iterCtes
+         SELECT id AS node_id, round(r, 6) AS rank FROM pr10"""
+    },
+
+    "q55_tfidf_topk" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok FROM tk),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         nd AS (SELECT count(*) AS n_docs FROM documents),
+         sc AS (SELECT doc_id, tok, tf, df,
+                  round(tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1.0), 6) AS tfidf
+                FROM tf JOIN df USING (tok) CROSS JOIN nd),
+         rk AS (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS BIGINT) AS rnk FROM sc)
+         SELECT doc_id, tok, tf, df, tfidf, rnk FROM rk WHERE rnk <= 3""",
+
+    // HLL replay: same md5-derived buckets/ranks (string/CASE arithmetic,
+    // no floats until the estimator), same alpha*m*m written left-assoc so
+    // the double ops match the engine's folded literal bit for bit.
+    "q56_hll_distinct" ->
+      """WITH tk AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         sp AS (SELECT source, l[i] || ' ' || l[i+1] AS s
+                FROM tk, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) WHERE len(l) >= 2),
+         h AS (SELECT source, md5(s) AS h, s FROM sp),
+         r AS (SELECT source, s,
+                 (strpos('0123456789abcdef', substr(h,1,1))-1)*16 + (strpos('0123456789abcdef', substr(h,2,1))-1) AS bucket,
+                 CASE WHEN ltrim(substr(h,3,12), '0') = '' THEN 49
+                      ELSE (12 - length(ltrim(substr(h,3,12), '0'))) * 4 +
+                           CASE WHEN substr(ltrim(substr(h,3,12), '0'),1,1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                                WHEN substr(ltrim(substr(h,3,12), '0'),1,1) IN ('4','5','6','7') THEN 1
+                                WHEN substr(ltrim(substr(h,3,12), '0'),1,1) IN ('2','3') THEN 2
+                                ELSE 3 END + 1 END AS rho
+               FROM h),
+         regs AS (SELECT source, bucket, max(rho) AS mx FROM r GROUP BY 1, 2),
+         est AS (SELECT source, count(*) AS n_registers, sum(power(2.0, -mx)) AS sum_present FROM regs GROUP BY 1),
+         fin AS (SELECT source, n_registers,
+                   (0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0) / (sum_present + CAST(256 - n_registers AS DOUBLE)) AS raw,
+                   CAST(256 - n_registers AS DOUBLE) AS zeros
+                 FROM est),
+         ex AS (SELECT source, count(DISTINCT s) AS n_exact FROM r GROUP BY 1)
+         SELECT ex.source, ex.n_exact, coalesce(n_registers, 0) AS n_registers,
+           round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                 THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS hll_estimate
+         FROM ex LEFT JOIN fin USING (source)""",
 
     "q13_langid" -> {
       def occ(w: String) =

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable HyperLogLog (Flajolet et al. 2007) built
+  * from md5 — the approximate-distinct sketch for corpus statistics at
+  * 100 TB (e.g. distinct spans per domain without a per-group exact
+  * distinct). Spark's own `approx_count_distinct` is HLL++ with an
+  * engine-private hash, so its estimates cannot be replayed by another
+  * engine; this variant derives bucket and rank from md5 hex with pure
+  * string/integer arithmetic, making the estimate bit-replayable in SQL —
+  * the oracle checks the full estimator, not just plumbing.
+  *
+  * Register definition over h = md5(value) (hex):
+  *   bucket = first 2 hex chars (m = 256 registers)
+  *   rank ρ = leading-zero bits of the next 12 hex chars (48 bits) + 1;
+  *            ρ = 49 when the field is all zeros. Computed EXACTLY via
+  *            ltrim('0') + a 16-way nibble CASE — no floating point.
+  * Estimator: raw = α·m²/Σ 2^−M_j (absent registers contribute 2⁰), with
+  * the standard linear-counting correction below 2.5·m when any register
+  * is empty. α = 0.7213/(1 + 1.079/m).
+  *
+  * Plan shape: one narrow hash projection, one (group, bucket) max
+  * aggregation (≤ m rows per group — bounded, uniform), one per-group
+  * reduction. Zero joins.
+  */
+object Sketch {
+
+  val hllM: Int = 256
+
+  /** ρ over the 12 hex chars after the bucket: 4·(leading '0' chars) +
+    * nibble leading zeros + 1, all string/CASE ops (exact in any engine).
+    */
+  private def rho(hexTail: Column): Column = {
+    val rest = ltrim(hexTail, "0")
+    val nibbleLz = when(substring(rest, 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 0)
+      .when(substring(rest, 1, 1).isin("4", "5", "6", "7"), 1)
+      .when(substring(rest, 1, 1).isin("2", "3"), 2)
+      .otherwise(3) // '1'
+    when(length(rest) === 0, lit(49))
+      .otherwise((lit(12) - length(rest)) * 4 + nibbleLz + 1)
+      .cast("int")
+  }
+
+  /** Per-group HLL distinct estimate of `valueCol`, with the exact distinct
+    * count alongside (the exact pass is for small-scale verification — at
+    * 100 TB you'd drop it and keep only the sketch).
+    * Output: (group, n_exact, n_registers, hll_estimate).
+    */
+  def hllDistinct(rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val m = hllM
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val h = rows.select(col(groupCol).as("grp"), md5(col(valueCol)).as("h"))
+      .select(col("grp"), col("h"),
+        conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("bucket"),
+        rho(substring(col("h"), 3, 12)).as("rho"))
+    val regs = h.groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mx"))
+    val est = regs.groupBy(col("grp")).agg(
+      count(lit(1)).as("n_registers"),
+      sum(pow(lit(2.0), -col("mx"))).as("sum_present"))
+      .select(col("grp"), col("n_registers"),
+        (col("sum_present") + (lit(m) - col("n_registers")).cast("double")).as("sum_inv"),
+        (lit(m) - col("n_registers")).cast("double").as("zeros"))
+      .select(col("grp"), col("n_registers"),
+        (lit(alpha * m.toDouble * m) / col("sum_inv")).as("raw"), col("zeros"))
+      .select(col("grp"), col("n_registers"),
+        round(when(col("raw") <= 2.5 * m && col("zeros") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
+          .otherwise(col("raw")), 6).as("hll_estimate"))
+    val exact = rows.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    exact.join(est, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_exact"),
+        coalesce(col("n_registers"), lit(0L)).as("n_registers"),
+        col("hll_estimate"))
+  }
+}

@@ -401,6 +401,33 @@ object TextOps {
         .as("boiler_frac"))
   }
 
+  /** Per-document top-k terms by TF-IDF (scikit-style smoothed idf:
+    * ln((N+1)/(df+1)) + 1, so a term in every document still scores > 0).
+    * Ties broken by token ascending — fully deterministic, and the score is
+    * rounded to 6dp BEFORE ranking so both engines rank identical values.
+    *
+    * 100 TB shape: one (doc, token) count aggregation (uniform keys), one
+    * token-keyed document-frequency aggregation reusing it, the 1-row
+    * corpus size broadcast, and one doc-partitioned window for the top-k
+    * (doc keys are uniform; k is a constant so the window is a bounded
+    * per-partition heap under rank pushdown).
+    */
+  def tfidfTopK(docs: DataFrame, k: Int = 3,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df_, Seq("tok")).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1.0), 6)
+          .as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("tok").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Corpus-unigram language-model quality score (the cheap stand-in for
     * KenLM perplexity filtering à la CCNet): p(tok) = corpus count / total
     * tokens, per-document score = mean log10 p over its tokens (higher =

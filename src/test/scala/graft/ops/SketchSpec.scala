@@ -1,0 +1,86 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Portable-HLL sketch + TF-IDF ranking tests. */
+class SketchSpec extends SparkSpec {
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Driver-side replay of Sketch.hllDistinct's register + estimator math. */
+  private def hllReplay(values: Seq[String]): (Long, Double) = {
+    val m = Sketch.hllM
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val regs = values.map { v =>
+      val h = md5Hex(v)
+      val bucket = Integer.parseInt(h.substring(0, 2), 16)
+      val tail = h.substring(2, 14)
+      val rest = tail.dropWhile(_ == '0')
+      val rho =
+        if (rest.isEmpty) 49
+        else {
+          val lz = "89abcdef".indexOf(rest.head) match {
+            case -1 => "4567".indexOf(rest.head) match {
+              case -1 => if (rest.head == '2' || rest.head == '3') 2 else 3
+              case _ => 1
+            }
+            case _ => 0
+          }
+          (12 - rest.length) * 4 + lz + 1
+        }
+      bucket -> rho
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val nReg = regs.size
+    val sumInv = regs.values.map(mx => math.pow(2.0, -mx)).sum + (m - nReg).toDouble
+    val raw = alpha * m.toDouble * m / sumInv
+    val zeros = (m - nReg).toDouble
+    val est = if (raw <= 2.5 * m && zeros > 0) m.toDouble * math.log(m / zeros) else raw
+    (nReg.toLong, BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("hllDistinct: exact count right, estimate matches driver replay bit-for-bit") {
+    import spark.implicits._
+    val rows = ((1 to 500).map(i => ("big", s"value_$i")) ++
+      Seq(("tiny", "only"), ("tiny", "only"), ("dup", "x"), ("dup", "x"), ("dup", "y")))
+      .toDF("source", "s")
+    val got = Sketch.hllDistinct(rows, "source", "s").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    val (rBig, eBig) = hllReplay((1 to 500).map(i => s"value_$i"))
+    val (rTiny, eTiny) = hllReplay(Seq("only"))
+    val (rDup, eDup) = hllReplay(Seq("x", "y"))
+    assert(got("big") == ((500L, rBig, eBig)))
+    assert(got("tiny") == ((1L, rTiny, eTiny)))
+    assert(got("dup") == ((2L, rDup, eDup)))
+    // the sketch is a real estimator: within 15% of truth at n=500, m=256
+    assert(math.abs(got("big")._3 - 500.0) / 500.0 < 0.15)
+    // duplicates never inflate the estimate (register max is idempotent)
+    val withDups = rows.union(rows)
+    val again = Sketch.hllDistinct(withDups, "source", "s").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(again("big") == got("big")._3)
+  }
+
+  test("tfidfTopK: smoothed idf, 6dp-rounded before ranking, token-asc tie-break") {
+    import spark.implicits._
+    val d = Seq((1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopK(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._6))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val idfRare = math.log(3.0 / 2.0) + 1.0 // df=1, N=2
+    assert(got.toSeq == Seq(
+      (1L, "apple", 2L, 1L, r6(2 * idfRare), 1L),
+      (1L, "banana", 1L, 2L, 1.0, 2L),
+      (2L, "cherry", 1L, 1L, r6(idfRare), 1L),
+      (2L, "banana", 1L, 2L, 1.0, 2L)))
+    // tie-break: equal scores rank by token ascending
+    val ties = Seq((7L, "zz aa mm")).toDF("doc_id", "text")
+    val order = TextOps.tfidfTopK(ties).collect().sortBy(_.getLong(5)).map(_.getString(1)).toSeq
+    assert(order == Seq("aa", "mm", "zz"))
+  }
+}
