@@ -211,7 +211,9 @@ object Bench {
       "q37_ner_mentions", "q38_entity_linking", "q40_repetition_stats",
       "q41_sessionization", "q50_span_dedup", "q51_gopher_quality",
       "q52_boilerplate_spans", "q53_unigram_logprob", "q54_pagerank",
-      "q55_tfidf_topk", "q56_hll_distinct")
+      "q55_tfidf_topk", "q56_hll_distinct", "q57_contamination",
+      "q58_stratified_sample", "q59_pii_scrub", "q60_asof_join",
+      "q61_range_join")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

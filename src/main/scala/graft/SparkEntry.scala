@@ -2,7 +2,7 @@ package graft
 
 import graft.corpus.Corpus
 import graft.kg.Pipeline
-import graft.ops.{Multimodal, NearDup, Similarity, Sketch, TextOps}
+import graft.ops.{Multimodal, NearDup, Similarity, Sketch, TextOps, TimeJoin}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -165,6 +165,76 @@ object SparkEntry {
 
     // Per-doc top-3 terms by smoothed TF-IDF.
     "q55_tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(t(s, dir, "documents"))),
+
+    // Train/eval contamination scan: sources src0/src1 play the benchmark
+    // suite, everything else is the training corpus; 8-gram overlap.
+    "q57_contamination" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TextOps.contaminationCheck(
+        d.where(!col("source").isin("src0", "src1")),
+        d.where(col("source").isin("src0", "src1")),
+        n = 8, threshold = 0.05)
+    }),
+
+    // Deterministic stratified mixture sampling: per-source keep rates via
+    // a portable md5 uniform draw (zero-shuffle narrow filter).
+    "q58_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(t(s, dir, "documents"),
+        rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+        defaultRate = 0.1)),
+
+    // PII scrub: the corpus carries no PII, so the query deterministically
+    // plants emails/IPs/phones on a doc_id lattice first — the oracle
+    // replays the augmentation AND the scrub, exercising nonzero paths.
+    "q59_pii_scrub" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val aug = d.select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-123-4567"))
+          .otherwise(lit(""))).as("text"))
+      TextOps.piiScrub(aug)
+    }),
+
+    // As-of (point-in-time) join: each purchase matched to the user's
+    // latest STRICTLY-earlier click — the union-tag + running-last window
+    // plan (one shuffle, no range cross-product). Oracle: DuckDB's native
+    // ASOF LEFT JOIN, an independent implementation of the same semantics.
+    "q60_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      TimeJoin.asofJoin(p, c, "user_id", "ts", "ts", Seq("value"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          col("asof_ts").as("last_click_ts"),
+          col("asof_value").as("last_click_value"),
+          (unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("asof_ts").cast("timestamp"))).as("gap_us"))
+    }),
+
+    // Bounded-range join: views within 10 minutes AFTER each error event of
+    // the same user — ONE equi-join on (user, 600 s time bucket) instead of
+    // the nested-loop theta-join; zero-partner errors kept via join-back.
+    "q61_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val errs = e.where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val views = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value"))
+      val pairs = TimeJoin.rangeJoin(errs, views, "user_id", "ts", "ts", Seq("value"), 600L)
+      val agg = pairs.groupBy(col("event_id")).agg(
+        count(lit(1)).as("n_views"),
+        round(sum(col("r_value")), 6).as("sum_view_value"))
+      errs.join(agg, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"), col("sum_view_value"))
+    }),
 
     // Deterministic portable HyperLogLog: distinct bigram spans per source,
     // exact count alongside — the full estimator is oracle-replayed.
@@ -906,6 +976,90 @@ object SparkEntry {
            round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS hll_estimate
          FROM ex LEFT JOIN fin USING (source)""",
+
+    // Contamination replay: identical 8-gram construction (distinct per
+    // doc), eval = src0/src1, threshold 0.05.
+    "q57_contamination" ->
+      """WITH tk AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         g AS (SELECT doc_id, source,
+                 list_distinct(list_transform(generate_series(1, len(l)-7), i -> array_to_string(l[i:i+7], ' '))) AS grams
+               FROM tk),
+         ep AS (SELECT DISTINCT unnest(grams) AS gram, doc_id AS eval_doc FROM g WHERE source IN ('src0','src1')),
+         tg AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g WHERE source NOT IN ('src0','src1')),
+         agg AS (SELECT tg.doc_id, max(tg.n_grams) AS n_grams,
+                   count(DISTINCT CASE WHEN ep.eval_doc IS NOT NULL THEN tg.gram END) AS n_overlap,
+                   count(DISTINCT ep.eval_doc) AS n_eval_docs
+                 FROM tg LEFT JOIN ep USING (gram) GROUP BY 1),
+         base AS (SELECT doc_id FROM g WHERE source NOT IN ('src0','src1'))
+         SELECT b.doc_id,
+           CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(coalesce(a.n_eval_docs, 0) AS BIGINT) AS n_eval_docs,
+           CASE WHEN coalesce(a.n_grams, 0) > 0
+                THEN round(a.n_overlap * 1.0 / a.n_grams, 6) ELSE 0.0 END AS overlap_frac,
+           (CASE WHEN coalesce(a.n_grams, 0) > 0
+                 THEN round(a.n_overlap * 1.0 / a.n_grams, 6) ELSE 0.0 END) >= 0.05 AS contaminated
+         FROM base b LEFT JOIN agg a USING (doc_id)""",
+
+    // Stratified-sample replay: the md5 first-32-bit uniform draw written
+    // as strpos nibble arithmetic (no hex-parse builtin needed), rates as
+    // the same CASE table, 6dp-rounded u in the output.
+    "q58_stratified_sample" -> {
+      val hex = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(h, $j, 1))-1)*${1L << (4 * (8 - j))}").mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, source, md5('graft:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         u AS (SELECT doc_id, source, ($hex) / 4294967296.0 AS u FROM h)
+         SELECT doc_id, source AS stratum,
+           CAST(CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END AS DOUBLE) AS rate,
+           round(u, 6) AS u6
+         FROM u
+         WHERE u < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END"""
+    },
+
+    // As-of replay: DuckDB's NATIVE ASOF LEFT JOIN — an independent engine
+    // implementation of point-in-time semantics, strict via `>`.
+    "q60_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+         SELECT p.user_id, p.event_id, p.ts, p.value,
+                c.ts AS last_click_ts, c.value AS last_click_value,
+                epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts""",
+
+    // Range-join replay: the plain theta-join DuckDB runs as an IEJoin —
+    // independent of the engine's bucketed plan.
+    "q61_range_join" ->
+      """WITH err AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+         v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+         p AS (SELECT err.event_id, v.value FROM err JOIN v ON err.user_id = v.user_id
+                 AND epoch_us(v.ts) - epoch_us(err.ts) > 0
+                 AND epoch_us(v.ts) - epoch_us(err.ts) <= 600000000),
+         a AS (SELECT event_id, count(*) AS n_views, round(sum(value), 6) AS sum_view_value
+               FROM p GROUP BY 1)
+         SELECT err.event_id, err.user_id, err.ts,
+                CAST(coalesce(a.n_views, 0) AS BIGINT) AS n_views, a.sum_view_value
+         FROM err LEFT JOIN a USING (event_id)""",
+
+    // PII replay: augmentation lattice + the SAME regex literals (generated
+    // from the engine constants — one source of truth), counts on the
+    // original augmented text, 'g'-flag replacements in the same order.
+    "q59_pii_scrub" -> {
+      val (em, ip, ph) = (TextOps.emailRe, TextOps.ipv4Re, TextOps.phoneRe)
+      s"""WITH aug AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END AS text
+         FROM documents),
+         c AS (SELECT doc_id,
+                 CAST(len(regexp_extract_all(text, '$em')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+                 CAST(len(regexp_extract_all(text, '$ph')) AS BIGINT) AS n_phones,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '$em', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS scrubbed
+               FROM aug)
+         SELECT doc_id, n_emails, n_ips, n_phones, scrubbed,
+                (n_emails + n_ips + n_phones = 0) AS pii_free FROM c"""
+    },
 
     "q13_langid" -> {
       def occ(w: String) =

@@ -454,4 +454,97 @@ object TextOps {
       coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
       col("avg_logprob"))
   }
+
+  /** Train/eval contamination check (GPT-3/PaLM-style benchmark-overlap
+    * scan): for every training document, the number of its distinct token
+    * n-grams that also appear in the eval corpus, how many distinct eval
+    * docs are hit, and a contaminated flag at `threshold` overlap fraction.
+    *
+    * 100 TB shape: the eval side (a benchmark suite) is tiny next to the
+    * training corpus, so its (gram, eval_doc) table is BROADCAST — the
+    * training side streams through one map-side join, and the only shuffle
+    * is the per-train-doc aggregation on uniform doc_id keys. Per-doc
+    * distinct grams via array_distinct BEFORE the explode (zero exchange).
+    * Docs with < n tokens keep a row (explode_outer) with n_grams = 0.
+    */
+  def contaminationCheck(train: DataFrame, eval: DataFrame, n: Int = 8,
+                         threshold: Double = 0.2,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def grams(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"),
+        array_distinct(NearDup.shingleArr(tokens(col(textCol)), n)).as("grams"))
+    val evalPairs = grams(eval)
+      .select(explode(col("grams")).as("gram"), col("doc_id").as("eval_doc"))
+    val tg = grams(train).select(col("doc_id"),
+      size(col("grams")).cast("long").as("n_grams"),
+      explode_outer(col("grams")).as("gram"))
+    tg.join(broadcast(evalPairs), Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        count_distinct(when(col("eval_doc").isNotNull, col("gram"))).as("n_overlap"),
+        count_distinct(col("eval_doc")).as("n_eval_docs"))
+      .select(col("doc_id"), col("n_grams"), col("n_overlap"), col("n_eval_docs"),
+        when(col("n_grams") > 0,
+          round(col("n_overlap").cast("double") / col("n_grams"), 6))
+          .otherwise(0.0).as("overlap_frac"))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
+  /** Deterministic stratified corpus sampling (training-mixture
+    * construction): keep a document iff u < rate(stratum), where
+    * u = first-32-bits-of-md5(seed:doc_id) / 2^32 — a pure, engine-portable
+    * per-doc uniform draw (no RNG state, identical on re-run and on any
+    * engine). Unlisted strata fall back to `defaultRate`.
+    *
+    * 100 TB shape: a pure narrow filter — zero shuffles, zero joins; the
+    * rate table is a folded CASE expression (a handful of strata), and the
+    * selection hash reuses the doc id already in hand, so the scan's column
+    * pruning keeps only (id, stratum) + carried columns.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double = 0.0, seed: String = "graft",
+                       stratumCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val u = (conv(substring(md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)).as("u")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (k, v)) => when(col(stratumCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"),
+        rate.as("rate"), u)
+      .where(col("u") < col("rate"))
+      .select(col("doc_id"), col("stratum"), col("rate"), round(col("u"), 6).as("u6"))
+  }
+
+  /** PII detection + scrubbing (CCNet/Dolma-style pre-training hygiene):
+    * count and replace emails, IPv4 addresses, and US-style phone numbers
+    * with typed placeholder tags. Patterns are lookaround-free so Java
+    * regex ≡ RE2 ≡ DuckDB — the scrubbed text itself is oracle-comparable.
+    *
+    * 100 TB shape: pure codegen'd Column expressions (regexp_count +
+    * chained regexp_replace), zero shuffles — scales as a narrow map over
+    * the scan. Order matters: emails are scrubbed BEFORE phones so a digit
+    * run inside a local-part can't double-match.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\\b"
+
+  def piiScrub(docs: DataFrame,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nEmail = size(regexp_extract_all(t, lit(emailRe), lit(0)))
+    val nIp = size(regexp_extract_all(t, lit(ipv4Re), lit(0)))
+    val nPhone = size(regexp_extract_all(t, lit(phoneRe), lit(0)))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+    docs.select(col(idCol).as("doc_id"),
+      nEmail.cast("long").as("n_emails"),
+      nIp.cast("long").as("n_ips"),
+      nPhone.cast("long").as("n_phones"),
+      scrubbed.as("scrubbed"))
+      .withColumn("pii_free", col("n_emails") + col("n_ips") + col("n_phones") === 0)
+  }
 }

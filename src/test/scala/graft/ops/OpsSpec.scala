@@ -932,4 +932,58 @@ class OpsSpec extends SparkSpec {
       .collect()(0)
     assert(votes.getLong(0) == 10L && votes.getLong(1) == 0L && votes.getLong(2) == 0L)
   }
+
+  test("contaminationCheck: overlap counts, eval-doc counts, short-doc row kept, threshold flag") {
+    val train = docs(1L -> "a b c d", 2L -> "x y z w", 3L -> "p q")
+    val eval_ = docs(100L -> "a b c q", 101L -> "b c d")
+    val out = TextOps.contaminationCheck(train, eval_, n = 3, threshold = 0.5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    // doc1 grams {a b c, b c d}: "a b c" hits eval 100, "b c d" hits eval 101
+    assert(out(1L) == ((2L, 2L, 2L, 1.0, true)))
+    assert(out(2L) == ((2L, 0L, 0L, 0.0, false)))
+    assert(out(3L) == ((0L, 0L, 0L, 0.0, false))) // < n tokens, row kept
+    // within-doc repeated grams count once (array_distinct before explode)
+    val rep = docs(7L -> "a b c a b c")          // grams incl. "a b c" twice
+    val o2 = TextOps.contaminationCheck(rep, eval_, n = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(o2(7L) == 1L)
+  }
+
+  test("stratifiedSample: md5 draw matches driver replay, rate table applied, zero default drops") {
+    import spark.implicits._
+    val d = (1L to 200L).map(i => (i, if (i % 2 == 0) "keepall" else "other", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"graft:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16).toDouble / 4294967296.0
+    }
+    val got = TextOps.stratifiedSample(d, Map("keepall" -> 1.0, "other" -> 0.3)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val expIds = (1L to 200L).filter(i => if (i % 2 == 0) u(i) < 1.0 else u(i) < 0.3)
+    assert(got.map(_._1).sorted.toSeq == expIds)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    got.foreach { case (id, st, rate, u6) =>
+      assert(rate == (if (st == "keepall") 1.0 else 0.3))
+      assert(u6 == r6(u(id)))
+    }
+    // defaultRate = 0.0: unlisted strata drop entirely
+    val none = TextOps.stratifiedSample(d, Map("keepall" -> 1.0)).collect()
+    assert(none.forall(_.getString(1) == "keepall") && none.length == 100)
+  }
+
+  test("piiScrub: emails/ips/phones counted and replaced in order, clean docs flagged pii_free") {
+    val d = docs(
+      1L -> "reach me at jo.doe+x@mail.example.org or 192.168.0.1 or 555-123-4567",
+      2L -> "two mails a@b.co c@d.io one ip 10.0.0.255",
+      3L -> "totally clean prose",
+      4L -> "edge 1.2.3.4.5 phone 12-345-6789") // 5-octet run still has a 4-octet \b match; bad phone no match
+    val out = TextOps.piiScrub(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getBoolean(5)))).toMap
+    assert(out(1L) == ((1L, 1L, 1L, "reach me at <EMAIL> or <IP> or <PHONE>", false)))
+    assert(out(2L)._1 == 2L && out(2L)._2 == 1L &&
+      out(2L)._4 == "two mails <EMAIL> <EMAIL> one ip <IP>")
+    assert(out(3L) == ((0L, 0L, 0L, "totally clean prose", true)))
+    assert(out(4L)._2 == 1L && out(4L)._3 == 0L)
+  }
 }
