@@ -213,7 +213,8 @@ object Bench {
       "q52_boilerplate_spans", "q53_unigram_logprob", "q54_pagerank",
       "q55_tfidf_topk", "q56_hll_distinct", "q57_contamination",
       "q58_stratified_sample", "q59_pii_scrub", "q60_asof_join",
-      "q61_range_join")
+      "q61_range_join", "q62_neardup_clusters", "q63_triangle_stats",
+      "q64_khop", "q65_pmi_collocations")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

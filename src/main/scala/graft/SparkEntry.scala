@@ -166,6 +166,29 @@ object SparkEntry {
     // Per-doc top-3 terms by smoothed TF-IDF.
     "q55_tfidf_topk" -> ((s, dir) => TextOps.tfidfTopK(t(s, dir, "documents"))),
 
+    // Graph quality metrics over the ENTITY CO-MENTION graph (q37's NER
+    // mentions → same-doc pairs): per-node triangle count + local
+    // clustering coefficient. The engine counts via degree-oriented wedge
+    // joins (power-law skew guard); the oracle replays the naive a<b
+    // formulation — identical counts by the acyclic-orientation argument,
+    // so the equivalence is itself driver-checked.
+    "q63_triangle_stats" -> ((s, dir) =>
+      graft.graph.Triangles.triangleStats(
+        graft.graph.Triangles.comentionEdges(queries("q37_ner_mentions")(s, dir)))),
+
+    // k-hop neighborhood expansion: everything within 4 undirected hops of
+    // the ASIA region node in the KG edge graph (frontier BFS; the oracle
+    // is a bounded recursive CTE taking min(d)).
+    "q64_khop" -> ((s, dir) =>
+      graft.graph.Bfs.khop(s, queries("q19_kg_edges")(s, dir),
+        concat(lit("node_"), substring(sha2(lit("tpch:region:ASIA"), 256), 1, 16)),
+        k = 4, srcCol = "src_id", dstCol = "dst_id")),
+
+    // Corpus-level collocation detection: PMI of adjacent token bigrams
+    // (count >= 5) against the unigram independence baseline.
+    "q65_pmi_collocations" -> ((s, dir) =>
+      TextOps.pmiCollocations(t(s, dir, "documents"))),
+
     // Train/eval contamination scan: sources src0/src1 play the benchmark
     // suite, everything else is the training corpus; 8-gram overlap.
     "q57_contamination" -> ((s, dir) => {
@@ -434,6 +457,16 @@ object SparkEntry {
         Similarity.hashedEmbeddings(t(s, dir, "documents")), 0.95,
         planes = 12, tables = 4,
         idCol = "doc_id", embCol = "emb", dim = 64, maxBucket = 16).droppedBuckets),
+
+    // End-to-end dedup RESOLUTION (what a 100 TB pipeline actually runs):
+    // q34's verified pairs → alternating-star connected components → one
+    // keeper per cluster (longest text in bytes, ties to smallest id).
+    // The oracle replays the full chain — shingle/minhash/band/verify,
+    // recursive-CTE CC, and the keeper rule.
+    "q62_neardup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      NearDup.resolveClusters(s, docs, NearDup.lshVerifiedPairs(docs, 0.8))
+    }),
 
     "q27_multimodal_features" -> ((s, dir) => {
       import s.implicits._
@@ -935,6 +968,75 @@ object SparkEntry {
          SELECT id AS node_id, round(r, 6) AS rank FROM pr10"""
     },
 
+    // Triangle/clustering replay over the co-mention graph: q37's mention
+    // CTEs → same-doc surface pairs (a<b distinct) → naive 3-way wedge
+    // join (the engine's degree-oriented join is count-equivalent).
+    "q63_triangle_stats" ->
+      """WITH tk AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l FROM documents),
+         tt AS (SELECT doc_id,
+           array_to_string(list_transform(l, (x, i) ->
+             CASE WHEN i <= 2 OR (i - 1) % 7 = 0 THEN upper(substr(x, 1, 1)) || substr(x, 2) ELSE x END), ' ') AS body
+           FROM tk),
+         caps AS (SELECT doc_id,
+           list_slice(regexp_extract_all(body, '\b[A-Z][a-z]+( [A-Z][a-z]+)*\b'), 1, 10) AS m FROM tt),
+         m0 AS (SELECT doc_id, unnest(m) AS surface FROM caps),
+         men AS (SELECT DISTINCT doc_id, surface FROM m0),
+         e AS (SELECT DISTINCT a.surface AS a, b.surface AS b
+               FROM men a JOIN men b ON a.doc_id = b.doc_id AND a.surface < b.surface),
+         deg AS (SELECT n, CAST(count(*) AS BIGINT) AS degree
+                 FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pn AS (SELECT n, CAST(count(*) AS BIGINT) AS triangles
+                FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+                GROUP BY 1)
+         SELECT deg.n AS node, deg.degree,
+                coalesce(pn.triangles, 0) AS triangles,
+                round(CASE WHEN deg.degree >= 2
+                      THEN (2.0 * coalesce(pn.triangles, 0)) / (deg.degree * (deg.degree - 1))
+                      ELSE 0.0 END, 6) AS clustering
+         FROM deg LEFT JOIN pn ON deg.n = pn.n""",
+
+    // k-hop replay: q19's edge CTE symmetrized, bounded recursive closure
+    // from the ASIA region node, dist = min depth.
+    "q64_khop" ->
+      """WITH RECURSIVE e AS (
+           SELECT 'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16) AS src,
+                  'node_' || substr(sha256('tpch:region:' || r_name), 1, 16) AS dst
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'node_' || substr(sha256('tpch:customer:' || c_name), 1, 16),
+                  'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16)
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         ed AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         reach(id, d) AS (SELECT 'node_' || substr(sha256('tpch:region:ASIA'), 1, 16), 0
+                          UNION SELECT ed.dst, r.d + 1 FROM ed JOIN reach r ON ed.src = r.id
+                          WHERE r.d < 4)
+         SELECT id AS node_id, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY 1""",
+
+    // PMI replay: identical double cast/div/mul tree so the rounded value
+    // is bit-identical (DuckDB sum() yields HUGEINT and bare 1.0 is
+    // DECIMAL — both must be cast to DOUBLE explicitly).
+    "q65_pmi_collocations" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok FROM tk),
+         uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+         bi0 AS (SELECT l[i] AS x, l[i+1] AS y
+                 FROM tk, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i)
+                 WHERE len(l) >= 2),
+         bi AS (SELECT x, y, count(*) AS c_xy FROM bi0 GROUP BY 1, 2),
+         tb AS (SELECT sum(c_xy) AS bb FROM bi),
+         tn AS (SELECT sum(c) AS nn FROM uni)
+         SELECT b.x, b.y, b.c_xy,
+                round(ln((CAST(b.c_xy AS DOUBLE) / CAST(bb AS DOUBLE)) /
+                  ((CAST(cx.c AS DOUBLE) / CAST(nn AS DOUBLE)) *
+                   (CAST(cy.c AS DOUBLE) / CAST(nn AS DOUBLE)))), 6) AS pmi
+         FROM bi b JOIN uni cx ON b.x = cx.tok JOIN uni cy ON b.y = cy.tok
+         CROSS JOIN tb CROSS JOIN tn
+         WHERE b.c_xy >= 5""",
+
     "q55_tfidf_topk" ->
       """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
          toks AS (SELECT doc_id, unnest(l) AS tok FROM tk),
@@ -1415,6 +1517,47 @@ object SparkEntry {
                    FROM mh GROUP BY 1, 2)
          SELECT CAST(band AS BIGINT) AS band, band_sig, CAST(count(*) AS BIGINT) AS bucket_size
          FROM bands GROUP BY 1, 2 HAVING count(*) > 2""",
+
+    // Dedup cluster resolution: q34's verified-pair chain feeds a
+    // recursive-CTE connected components, then the keeper rule (max byte
+    // length via strlen, ties to min doc_id) and cluster stats replayed in
+    // plain SQL. comp (VARCHAR min label) is only a grouping key — the
+    // emitted cluster_id is the portable min NUMERIC doc_id.
+    "q62_neardup_clusters" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         seeds AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed),
+         mh AS (SELECT doc_id, seed, min(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                  WHERE a.doc_id < b.doc_id),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.d1, c.d2, count(*) AS inter
+                   FROM cand c JOIN sh x ON x.doc_id = c.d1 JOIN sh y ON y.doc_id = c.d2 AND y.shingle = x.shingle
+                   GROUP BY 1, 2),
+         vp AS (SELECT d1, d2 FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+                WHERE round(inter / (s1.n + s2.n - inter), 6) > 0.8),
+         edges AS (SELECT CAST(d1 AS VARCHAR) AS a, CAST(d2 AS VARCHAR) AS b FROM vp
+                   UNION SELECT CAST(d2 AS VARCHAR), CAST(d1 AS VARCHAR) FROM vp),
+         reach(id, lab) AS (SELECT a, a FROM edges
+                            UNION SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id),
+         cc AS (SELECT CAST(id AS BIGINT) AS doc_id, min(lab) AS comp FROM reach GROUP BY 1),
+         j AS (SELECT c.doc_id, c.comp, CAST(strlen(d.text) AS BIGINT) AS len
+               FROM cc c JOIN documents d ON c.doc_id = d.doc_id),
+         mx AS (SELECT comp, max(len) AS mx FROM j GROUP BY 1),
+         keepers AS (SELECT j.comp, min(j.doc_id) AS keeper
+                     FROM j JOIN mx ON j.comp = mx.comp AND j.len = mx.mx GROUP BY 1),
+         ag AS (SELECT comp, min(doc_id) AS cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM j GROUP BY 1)
+         SELECT j.doc_id, ag.cluster_id, ag.cluster_size,
+                CAST(j.doc_id = k.keeper AS BIGINT) AS keep
+         FROM j JOIN ag ON j.comp = ag.comp JOIN keepers k ON j.comp = k.comp""",
 
     // Connected components as a recursive CTE: reach(id,lab) closes over the
     // symmetrized edge list; component = min reachable label. Labels are

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection: word-shingling, MinHash signatures, LSH band
@@ -354,5 +354,42 @@ object NearDup {
         hamming(col("p.s1"), col("p.s2")).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
+  }
+
+  /** Cluster resolution — the stage AFTER pair generation in a production
+    * dedup pipeline: verified near-dup pairs → connected components
+    * (alternating large-star/small-star, O(log n) rounds in diameter) →
+    * one canonical "keeper" per cluster. Keeper rule: longest text in
+    * BYTES, ties to the smallest doc id — deterministic and
+    * engine-portable (byte length sidesteps char-vs-codepoint ambiguity).
+    *
+    * Output: one row per doc appearing in any pair — (doc_id,
+    * cluster_id = min doc id in the cluster, cluster_size, keep ∈ {0,1}).
+    * A 100 TB pipeline anti-joins `keep = 0` rows against the corpus.
+    *
+    * Scale shape: CC runs over the PAIR set (≪ corpus after exact dedup +
+    * the bucket guardrail); the doc-length join touches only pair members
+    * (inner-join-sized, uniform long keys); keeper/size/min are one
+    * map-side-partial hash aggregate on the component key — `min_by` over
+    * a (−len, doc_id) struct replaces a window sort (see
+    * [[graft.kg.GraphQueries]] min_by discipline).
+    */
+  def resolveClusters(spark: SparkSession, docs: DataFrame, pairs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      d1Col: String = "d1", d2Col: String = "d2"): DataFrame = {
+    val edges = pairs.select(col(d1Col).cast("string").as("src"),
+      col(d2Col).cast("string").as("dst"))
+    val cc = graft.canon.Canonicalize.connectedComponents(spark, edges)
+      .select(col("id").cast("long").as("doc_id"), col("component").as("comp"))
+    val lens = docs.select(col(idCol).cast("long").as("doc_id"),
+      octet_length(col(textCol)).cast("long").as("len"))
+    val members = cc.join(lens, "doc_id")
+    val agg = members.groupBy("comp").agg(
+      min(col("doc_id")).as("cluster_id"),
+      count(lit(1)).as("cluster_size"),
+      min_by(col("doc_id"), struct((-col("len")).as("nl"), col("doc_id"))).as("keeper"))
+    members.join(agg, "comp")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("keeper")).cast("long").as("keep"))
   }
 }

@@ -547,4 +547,46 @@ object TextOps {
       scrubbed.as("scrubbed"))
       .withColumn("pii_free", col("n_emails") + col("n_ips") + col("n_phones") === 0)
   }
+
+  /** Pointwise mutual information of ADJACENT token bigrams over the whole
+    * corpus — the collocation detector ("New York" scores high because the
+    * pair beats its unigram independence baseline):
+    *   pmi(x,y) = ln( (c_xy/B) / ((c_x/N)·(c_y/N)) )
+    * with B = Σ bigrams, N = Σ tokens. `minCount` floors c_xy (rare pairs
+    * have garbage PMI).
+    *
+    * 100 TB shape: tokens materialized ONCE (no-CSE lambda discipline),
+    * narrow struct-pair explode, then two uniform-keyed count aggregates;
+    * the 1-row B/N totals are crossJoin-broadcast back (never collected);
+    * unigram joins broadcast when the vocab is small, shuffled-hash
+    * otherwise — either way keyed on tokens, the same key space the counts
+    * already shuffled on. Arithmetic is written in the exact tree shape
+    * the oracle replays (double division/multiplication order) so the
+    * rounded PMI is bit-identical.
+    */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 5,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val pairs = toks.select(explode(
+      when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("x"),
+            element_at(col("toks"), i + 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:string,y:string>>"))).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val bi = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val totB = bi.agg(sum(col("c_xy")).as("bb"))
+    val totN = uni.agg(sum(col("c")).as("nn"))
+    bi.where(col("c_xy") >= minCount)
+      .join(uni.select(col("tok").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("tok").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(broadcast(totB)).crossJoin(broadcast(totN))
+      .select(col("x"), col("y"), col("c_xy"),
+        round(log((col("c_xy").cast("double") / col("bb").cast("double")) /
+          ((col("c_x").cast("double") / col("nn").cast("double")) *
+            (col("c_y").cast("double") / col("nn").cast("double")))), 6)
+          .as("pmi"))
+  }
 }

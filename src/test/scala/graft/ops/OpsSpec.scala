@@ -986,4 +986,31 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 0L, "totally clean prose", true)))
     assert(out(4L)._2 == 1L && out(4L)._3 == 0L)
   }
+
+  test("pmiCollocations: hand-computed PMI, minCount floor applied") {
+    val d = docs(1L -> "a b a b", 2L -> "a b c")
+    // unigrams a:3 b:3 c:1 (N=7); bigrams (a,b):3 (b,a):1 (b,c):1 (B=5)
+    val out = TextOps.pmiCollocations(d, minCount = 2).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(("a", "b")))
+    val expected = math.log((3.0 / 5.0) / ((3.0 / 7.0) * (3.0 / 7.0)))
+    assert(out(("a", "b"))._1 == 3L)
+    assert(math.abs(out(("a", "b"))._2 - expected) < 1e-6)
+  }
+
+  test("resolveClusters: CC over pairs, keeper = longest bytes then min id, cluster_id = min id") {
+    import spark.implicits._
+    // cluster {1,2,3} chained 1-2, 2-3 (CC must transitively close);
+    // doc 3 longest → keeper; cluster {10,11} equal length → min id 10 keeps;
+    // doc 5 in no pair → absent from output.
+    val d = docs(1L -> "aa", 2L -> "bbbb", 3L -> "ccccc", 10L -> "xx", 11L -> "yy",
+      5L -> "lonely")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val out = NearDup.resolveClusters(spark, d, pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 10L, 11L))
+    assert(out(1L) == ((1L, 3L, 0L)) && out(2L) == ((1L, 3L, 0L)))
+    assert(out(3L) == ((1L, 3L, 1L))) // longest text keeps despite largest id
+    assert(out(10L) == ((10L, 2L, 1L)) && out(11L) == ((10L, 2L, 0L))) // tie → min id
+  }
 }
