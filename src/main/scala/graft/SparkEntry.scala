@@ -268,12 +268,45 @@ object SparkEntry {
       Sketch.hllDistinct(spans, "source", "s")
     }),
 
+    // Semi-structured metadata extraction: events.props is a JSON payload
+    // (the WARC/crawl-metadata shape); parse it with a TYPED from_json
+    // schema (codegen'd Catalyst JsonToStructs — not regex, not a UDF) and
+    // aggregate per event type. Malformed JSON → null k, which the CASE'd
+    // regexp oracle mirrors. avg uses the cast-exact double tree.
+    "q67_json_props" -> ((s, dir) => {
+      val parsed = t(s, dir, "events").select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      parsed.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(sum(col("k")).cast("double") / count(col("k")).cast("double"), 6).as("avg_k"))
+    }),
+
+    // Count-min heavy hitters over bigram spans: the d·w-bounded frequency
+    // sketch probed for the top-20 exact-count items; estimate ≥ exact
+    // always (one-sided error), and the oracle replays the md5 bucket
+    // arithmetic + min-of-counters end to end.
+    "q66_cms_heavy_hitters" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("toks"))
+        .select(explode(NearDup.shingleArr(col("toks"), 2)).as("s"))
+      Sketch.cmsHeavyHitters(spans, "s")
+    }),
+
     "q13_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val votes = TextOps.langVotes(col("text"))
+      // votes in one projection, guess from the NAMED columns — inlining
+      // langGuess(text) here doubles every regexp tree and overflows the
+      // 64 KB codegen method limit (whole stage falls back to interpreted)
       d.select(Seq(col("doc_id")) ++
-        votes.map { case (l, c) => c.as(s"${l}_votes") } :+
-        TextOps.langGuess(col("text")).as("lang_guess"): _*)
+          votes.map { case (l, c) => c.as(s"${l}_votes") }: _*)
+        .withColumn("lang_guess",
+          TextOps.langGuessFromVotes(l => col(s"${l}_votes")))
     }),
 
     "q14_quality" -> ((s, dir) => {
@@ -1078,6 +1111,43 @@ object SparkEntry {
            round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS hll_estimate
          FROM ex LEFT JOIN fin USING (source)""",
+
+    // JSON-props replay via native regexp (no DuckDB json-extension
+    // dependency): '' (no match) → NULL k, like from_json on malformed
+    // input; count(k) in the avg denominator skips nulls in both engines.
+    "q67_json_props" ->
+      """WITH p AS (SELECT event_type,
+           CASE WHEN regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+                THEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) END AS k
+           FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k, min(k) AS min_k, max(k) AS max_k,
+                round(CAST(sum(k) AS DOUBLE) / CAST(count(k) AS DOUBLE), 6) AS avg_k
+         FROM p GROUP BY 1""",
+
+    // Count-min replay: same md5 nibble arithmetic as q56's bucket, 4 rows
+    // × 64 buckets, counters from ALL bigram occurrences, probe = top-20
+    // by exact (ties item asc), estimate = min over rows.
+    "q66_cms_heavy_hitters" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         sp AS (SELECT l[i] || ' ' || l[i+1] AS item
+                FROM tk, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i)
+                WHERE len(l) >= 2),
+         rs AS (SELECT unnest([0,1,2,3]) AS r),
+         bk AS (SELECT item, r,
+                 ((strpos('0123456789abcdef', substr(md5(item || ':' || CAST(r AS VARCHAR)),1,1))-1)*16 +
+                  (strpos('0123456789abcdef', substr(md5(item || ':' || CAST(r AS VARCHAR)),2,1))-1)) % 64 AS bucket
+                FROM sp CROSS JOIN rs),
+         counters AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2),
+         ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM sp GROUP BY 1),
+         top AS (SELECT item, exact FROM ex ORDER BY exact DESC, item ASC LIMIT 20),
+         pr AS (SELECT t.item, t.exact, rs.r,
+                 ((strpos('0123456789abcdef', substr(md5(t.item || ':' || CAST(rs.r AS VARCHAR)),1,1))-1)*16 +
+                  (strpos('0123456789abcdef', substr(md5(t.item || ':' || CAST(rs.r AS VARCHAR)),2,1))-1)) % 64 AS bucket
+                FROM top t CROSS JOIN rs)
+         SELECT pr.item, pr.exact, min(c.c) AS cms_estimate
+         FROM pr JOIN counters c ON pr.r = c.r AND pr.bucket = c.bucket
+         GROUP BY 1, 2""",
 
     // Contamination replay: identical 8-gram construction (distinct per
     // doc), eval = src0/src1, threshold 0.05.

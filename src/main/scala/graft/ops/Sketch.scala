@@ -75,4 +75,44 @@ object Sketch {
         coalesce(col("n_registers"), lit(0L)).as("n_registers"),
         col("hll_estimate"))
   }
+
+  /** Deterministic, engine-portable Count-Min sketch (Cormode &
+    * Muthukrishnan 2005) — [[hllDistinct]]'s frequency sibling: per-item
+    * count estimates from d·w counters. Each of the d rows hashes
+    * independently: bucket_r(v) = (first 2 hex chars of md5(v ':' r))
+    * mod w; estimate(v) = min_r counter[r][bucket_r(v)] — ALWAYS ≥ the
+    * true count (one-sided collision error), which the spec asserts.
+    *
+    * 100 TB shape: the sketch build is one narrow hash projection (d
+    * synthetic rows per occurrence) + ONE (row, bucket) count aggregation
+    * whose output is bounded at d·w rows REGARDLESS of input size — a
+    * broadcastable corpus summary. The probe side broadcasts that tiny
+    * counter table against the query items and takes a d-way min; the
+    * exact-count column emitted here is small-scale verification (at
+    * scale you keep only the sketch — that's the point).
+    *
+    * Output: the topK items by exact count (ties → item asc) as
+    * (item, exact, cms_estimate).
+    */
+  def cmsHeavyHitters(rows: DataFrame, valueCol: String,
+                      width: Int = 64, depth: Int = 4, topK: Int = 20): DataFrame = {
+    def bucket(v: Column, r: Column): Column =
+      conv(substring(md5(concat(v, lit(":"), r.cast("string"))), 1, 2), 16, 10)
+        .cast("int") % width
+    val v = rows.select(col(valueCol).as("item"))
+    val hashed = v
+      .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("item"), col("r"), bucket(col("item"), col("r")).as("bucket"))
+    val counters = hashed.groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val top = v.groupBy("item").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("item").asc).limit(topK)
+    top
+      .select(col("item"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("item"), col("exact"), col("r"),
+        bucket(col("item"), col("r")).as("bucket"))
+      .join(broadcast(counters), Seq("r", "bucket"))
+      .groupBy("item", "exact")
+      .agg(min(col("c")).as("cms_estimate"))
+  }
 }

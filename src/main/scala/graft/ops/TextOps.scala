@@ -198,18 +198,28 @@ object TextOps {
     * alone is Chinese), then argmax of stopword votes with fixed precedence
     * (en > de > fr > es), "und" (undetermined) when all zero.
     */
-  def langGuess(text: Column): Column = {
-    val cc = charClassVotes(text).toMap
-    val votes = langStopwords.map { case (lang, words) =>
-      lang -> words.map(w => tokenOccurrences(text, w)).reduce(_ + _)
-    }
-    val maxVote = greatest(votes.map(_._2): _*)
-    val stopwordGuess = votes.foldRight(lit("und"): Column) { case ((lang, v), acc) =>
+  def langGuess(text: Column): Column =
+    langGuessFromVotes(langVotes(text).toMap.apply)
+
+  /** [[langGuess]] over ALREADY-COMPUTED vote columns (one per language in
+    * [[langVotes]] order). Use this when the votes are also selected as
+    * output columns: recomputing them inside the guess CASE doubles the
+    * expression tree — on the full 7-language table that single projection
+    * overflows Janino's 64 KB method limit, silently dropping the whole
+    * stage out of codegen into interpreted eval. Materialize the votes in
+    * one projection, then guess from the named columns (CollapseProject
+    * keeps the stage boundary because the aliases are non-cheap and
+    * multiply referenced).
+    */
+  def langGuessFromVotes(vote: String => Column): Column = {
+    val sw = langStopwords.map { case (lang, _) => lang -> vote(lang) }
+    val maxVote = greatest(sw.map(_._2): _*)
+    val stopwordGuess = sw.foldRight(lit("und"): Column) { case ((lang, v), acc) =>
       when(maxVote > 0 && v === maxVote, lit(lang)).otherwise(acc)
     }
-    when(cc("ko") > 0, lit("ko"))
-      .when(cc("ja") > 0, lit("ja"))
-      .when(cc("zh") > 0, lit("zh"))
+    when(vote("ko") > 0, lit("ko"))
+      .when(vote("ja") > 0, lit("ja"))
+      .when(vote("zh") > 0, lit("zh"))
       .otherwise(stopwordGuess)
   }
 

@@ -32,6 +32,20 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("q67 JSON parsing: malformed props -> null k, skipped by avg but counted by n") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val props = Seq("""{"k": 10}""", "not json", """{"k": 20}""", """{"other": 1}""")
+      .toDF("props")
+    val parsed = props.select(
+      org.apache.spark.sql.functions.from_json(col("props"),
+        StructType(Seq(StructField("k", LongType)))).getField("k").as("k"))
+    val agg = parsed.agg(count(lit(1)).as("n"), count(col("k")).as("nk"),
+      sum(col("k")).as("s")).collect()(0)
+    assert((agg.getLong(0), agg.getLong(1), agg.getLong(2)) == ((4L, 2L, 30L)))
+  }
+
   test("every oracleSql key has a queries entry; all queries run on sf0.001") {
     val qs = SparkEntry.queries
     val missing = SparkEntry.oracleSql.keySet -- qs.keySet

@@ -83,4 +83,30 @@ class SketchSpec extends SparkSpec {
     val order = TextOps.tfidfTopK(ties).collect().sortBy(_.getLong(5)).map(_.getString(1)).toSeq
     assert(order == Seq("aa", "mm", "zz"))
   }
+
+  test("cmsHeavyHitters: estimate matches driver replay, always >= exact, collisions overcount") {
+    import spark.implicits._
+    val width = 4; val depth = 2 // tiny sketch → collisions guaranteed
+    // 40 distinct items with skewed counts: item i appears i times
+    val values = (1 to 40).flatMap(i => Seq.fill(i)(s"item$i"))
+    val rows = values.toDF("v")
+    val got = Sketch.cmsHeavyHitters(rows, "v", width = width, depth = depth, topK = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // driver replay of the counter table + probe
+    def bucket(v: String, r: Int): Int =
+      Integer.parseInt(md5Hex(s"$v:$r").substring(0, 2), 16) % width
+    val counters = (for (v <- values; r <- 0 until depth) yield (r, bucket(v, r)))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.length == 5)
+    got.foreach { case (v, ex, est) =>
+      assert(ex == exact(v))
+      assert(est == (0 until depth).map(r => counters((r, bucket(v, r)))).min)
+      assert(est >= ex) // CMS one-sided error
+    }
+    // top-5 by exact desc: items 36..40
+    assert(got.map(_._1).toSet == (36 to 40).map(i => s"item$i").toSet)
+    // with 40 items in 4 buckets, at least one probe must actually overcount
+    assert(got.exists { case (_, ex, est) => est > ex })
+  }
 }
