@@ -2,7 +2,7 @@ package graft
 
 import graft.corpus.Corpus
 import graft.kg.Pipeline
-import graft.ops.{Multimodal, NearDup, Similarity, Sketch, TextOps, TimeJoin}
+import graft.ops.{Multimodal, NearDup, Similarity, Sketch, TextOps, TimeJoin, UrlOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -295,6 +295,43 @@ object SparkEntry {
         .select(TextOps.tokens(col("text")).as("toks"))
         .select(explode(NearDup.shingleArr(col("toks"), 2)).as("s"))
       Sketch.cmsHeavyHitters(spans, "s")
+    }),
+
+    // URL canonicalization (RFC 3986 §6 subset) over a deterministic
+    // synthetic URL lattice (documents has no url column — q59 pattern):
+    // scheme/host lowering, fragment drop, default-port strip, trailing
+    // slash, query-param sort, two-level-suffix registered domain. Parts
+    // materialized in one projection, derived columns from the NAMED
+    // columns (q13 codegen lesson).
+    "q68_url_canon" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          UrlOps.syntheticUrl(col("doc_id"), col("source")).as("url"))
+        .withColumn("canon_url", UrlOps.canonicalize(col("url")))
+        .withColumn("host", UrlOps.host(col("url")))
+        .withColumn("registered_domain", UrlOps.registeredDomain(col("host")))
+    }),
+
+    // Histogram-quantile sketch: per-event-type p50/p90/p99 of value from
+    // a G·B-bounded mergeable counter table (global bounds broadcast).
+    "q69_quantile_sketch" -> ((s, dir) =>
+      Sketch.histogramQuantiles(t(s, dir, "events"), "value", "event_type")),
+
+    // Context-window chunking: 64-token windows, stride 48 — the LM
+    // training packing step; zero-shuffle posexplode, chunk payload as md5.
+    "q70_token_windows" -> ((s, dir) =>
+      TextOps.tokenWindows(t(s, dir, "documents"))),
+
+    // Bloom-filter membership over bigram spans: blocklist = bigrams of
+    // doc_id % 101 == 0 docs; probe = every distinct corpus bigram. One
+    // broadcast bit-position array, narrow probe; in_set driver-checks the
+    // no-false-negatives contract row by row.
+    "q71_bloom_membership" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(NearDup.shingleArr(col("toks"), 2)).as("s"))
+      val block = spans.where(col("doc_id") % 101 === 0).select(col("s"))
+      Sketch.bloomMembership(spans, "s", block, "s")
     }),
 
     "q13_langid" -> ((s, dir) => {
@@ -1148,6 +1185,117 @@ object SparkEntry {
          SELECT pr.item, pr.exact, min(c.c) AS cms_estimate
          FROM pr JOIN counters c ON pr.r = c.r AND pr.bucket = c.bucket
          GROUP BY 1, 2""",
+
+    // URL-canonicalization replay: same lattice CASE, same capture-group
+    // regex literals (interpolated from UrlOps — one source of truth),
+    // same default-port/trailing-slash/query-sort rules in DuckDB list ops.
+    "q68_url_canon" -> {
+      val (sch, auth, pth, qry, prt, hst) = (UrlOps.schemeRe, UrlOps.authorityRe,
+        UrlOps.pathRe, UrlOps.queryRe, UrlOps.portRe, UrlOps.hostRe)
+      val suffixes = UrlOps.twoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR) || '/?utm=x&a=1#top'
+             WHEN 1 THEN 'https://cdn.' || source || '.example.co.uk:443/a/b/c?z=9&b=2&a=1'
+             WHEN 2 THEN 'http://' || source || '.example.com/path/' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN 'HTTPS://Blog.' || source || '.Example.ORG:8443/x/'
+             WHEN 4 THEN 'http://' || source || '.example.com:8080/?q=' || CAST(doc_id AS VARCHAR) || '#frag'
+             ELSE 'https://' || source || '.example.com' END AS url
+           FROM documents),
+         p AS (SELECT doc_id, url,
+                 lower(regexp_extract(url, '$sch', 1)) AS s,
+                 lower(regexp_extract(url, '$auth', 1)) AS auth,
+                 regexp_extract(url, '$pth', 1) AS rawpath,
+                 -- DuckDB regexp_extract: NULL (not '') on NO match
+                 coalesce(regexp_extract(url, '$qry', 1), '') AS rawq
+               FROM u),
+         c AS (SELECT doc_id, url, s,
+                 regexp_extract(auth, '$hst', 1) AS host,
+                 coalesce(regexp_extract(auth, '$prt', 1), '') AS port,
+                 CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+                      ELSE regexp_replace(rawpath, '/+$$', '') END AS path,
+                 -- DuckDB array_to_string: NULL on an EMPTY list
+                 coalesce(array_to_string(list_sort(list_filter(string_split(rawq, '&'), x -> x <> '')), '&'), '') AS qq
+               FROM p)
+         SELECT doc_id, url,
+           s || '://' || host ||
+           CASE WHEN port = '' OR (s = 'http' AND port = '80') OR (s = 'https' AND port = '443')
+                THEN '' ELSE ':' || port END ||
+           path || CASE WHEN qq = '' THEN '' ELSE '?' || qq END AS canon_url,
+           host,
+           CASE WHEN len(string_split(host, '.')) < 2 THEN host
+                WHEN len(string_split(host, '.')) >= 3 AND
+                     (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]) IN ($suffixes)
+                THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS registered_domain
+         FROM c"""
+    },
+
+    // Histogram-quantile replay: same global-bounds bucket arithmetic
+    // ((v-lo)/(hi-lo)*256, floor, clamp 255), same running-sum pick of the
+    // first bucket with cum >= q*n, same lower-edge estimate. All
+    // comparisons on CAST(... AS DOUBLE) (DuckDB sum is HUGEINT and bare
+    // decimals are DECIMAL).
+    "q69_quantile_sketch" ->
+      """WITH v AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v FROM events),
+         bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+         b AS (SELECT grp, CASE WHEN hi = lo THEN 0
+                 ELSE CAST(least(floor((v - lo) / (hi - lo) * 256), 255.0) AS INT) END AS bucket
+               FROM v, bounds),
+         counters AS (SELECT grp, bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+         cum AS (SELECT grp, bucket, c,
+                   sum(c) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+                   sum(c) OVER (PARTITION BY grp) AS n
+                 FROM counters),
+         picked AS (SELECT grp, CAST(n AS BIGINT) AS n,
+                      min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) THEN bucket END) AS b50,
+                      min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(0.9 AS DOUBLE) * CAST(n AS DOUBLE) THEN bucket END) AS b90,
+                      min(CASE WHEN CAST(cum AS DOUBLE) >= CAST(0.99 AS DOUBLE) * CAST(n AS DOUBLE) THEN bucket END) AS b99
+                    FROM cum GROUP BY 1, 2)
+         SELECT grp, n,
+                round(lo + b50 * (hi - lo) / 256, 6) AS p50,
+                round(lo + b90 * (hi - lo) / 256, 6) AS p90,
+                round(lo + b99 * (hi - lo) / 256, 6) AS p99
+         FROM picked, bounds""",
+
+    // Token-window replay: identical start sequence (0, 48, ... < n),
+    // 1-based inclusive list slice clamps at the end like Spark's slice,
+    // same space-joined md5 payload hash.
+    "q70_token_windows" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l FROM documents),
+         d AS (SELECT doc_id, l, len(l) AS n FROM tk WHERE len(l) > 0),
+         w AS (SELECT doc_id, l, i AS start_tok
+               FROM d, LATERAL (SELECT unnest(generate_series(0, n - 1, 48)) AS i))
+         SELECT doc_id, CAST(start_tok // 48 AS BIGINT) AS win_idx,
+                CAST(start_tok AS BIGINT) AS start_tok,
+                CAST(len(l[start_tok + 1 : start_tok + 64]) AS BIGINT) AS win_tokens,
+                md5(array_to_string(l[start_tok + 1 : start_tok + 64], ' ')) AS chunk_hash
+         FROM w""",
+
+    // Bloom replay: same md5 3-hex-nibble positions mod 512, k=3, bits as
+    // a sorted distinct list, hit = all three probes present; in_set via
+    // IN-subquery (the exact side the filter must never miss).
+    "q71_bloom_membership" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l FROM documents),
+         sp AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS s
+                FROM tk, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i)
+                WHERE len(l) >= 2),
+         block AS (SELECT DISTINCT s FROM sp WHERE doc_id % 101 = 0),
+         ks AS (SELECT unnest([0, 1, 2]) AS i),
+         bits AS (SELECT list_sort(list(DISTINCT
+                    ((strpos('0123456789abcdef', substr(md5(s || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 256 +
+                     (strpos('0123456789abcdef', substr(md5(s || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1) * 16 +
+                     (strpos('0123456789abcdef', substr(md5(s || ':' || CAST(i AS VARCHAR)), 3, 1)) - 1)) % 512)) AS bits
+                  FROM block CROSS JOIN ks),
+         probe AS (SELECT DISTINCT s AS item FROM sp),
+         pr AS (SELECT item, i,
+                  ((strpos('0123456789abcdef', substr(md5(item || ':' || CAST(i AS VARCHAR)), 1, 1)) - 1) * 256 +
+                   (strpos('0123456789abcdef', substr(md5(item || ':' || CAST(i AS VARCHAR)), 2, 1)) - 1) * 16 +
+                   (strpos('0123456789abcdef', substr(md5(item || ':' || CAST(i AS VARCHAR)), 3, 1)) - 1)) % 512 AS pos
+                FROM probe CROSS JOIN ks)
+         SELECT pr.item, bool_and(list_contains(bits.bits, pr.pos)) AS bloom_hit,
+                (pr.item IN (SELECT s FROM block)) AS in_set
+         FROM pr, bits GROUP BY pr.item, in_set""",
 
     // Contamination replay: identical 8-gram construction (distinct per
     // doc), eval = src0/src1, threshold 0.05.

@@ -115,4 +115,86 @@ object Sketch {
       .groupBy("item", "exact")
       .agg(min(col("c")).as("cms_estimate"))
   }
+
+  /** Deterministic equi-width histogram quantiles — the percentile sibling
+    * of [[hllDistinct]]/[[cmsHeavyHitters]]: per-group p50/p90/p99 from a
+    * bounded, mergeable counter table. Spark's own `approx_percentile`
+    * (Greenwald-Khanna) has engine-private internals, so its estimates are
+    * not replayable by another engine; this sketch is pure arithmetic:
+    *
+    *   bucket(v) = min(⌊(v − lo)/(hi − lo)·B⌋, B−1) over GLOBAL [lo, hi]
+    *   est(q)    = lo + b_q·(hi − lo)/B,  b_q = min bucket with cum ≥ q·n
+    *
+    * (est is the bucket's LOWER edge — error ≤ one bucket width.) Global
+    * bounds (one 1-row broadcast agg) rather than per-group keep the
+    * counter tables mergeable across groups/partitions/days — the property
+    * that matters at 100 TB, where the (grp, bucket) table is bounded at
+    * G·B rows regardless of input and the quantile extraction runs on that
+    * tiny table (per-group window over ≤B rows).
+    */
+  def histogramQuantiles(rows: DataFrame, valueCol: String, groupCol: String,
+                         buckets: Int = 256,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = rows.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("v"))
+    val bounds = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val counters = v.crossJoin(broadcast(bounds))
+      .select(col("grp"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(floor((col("v") - col("lo")) / (col("hi") - col("lo")) * buckets),
+            lit((buckets - 1).toLong)))
+          .cast("int").as("bucket"))
+      .groupBy("grp", "bucket").agg(count(lit(1)).as("c"))
+    val cum = counters
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("grp").orderBy("bucket")))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("grp")))
+    val qAggs = qs.map { q =>
+      min(when(col("cum").cast("double") >= lit(q) * col("n").cast("double"),
+        col("bucket"))).as(s"b${(q * 100).round}")
+    }
+    val picked = cum.groupBy("grp", "n").agg(qAggs.head, qAggs.tail: _*)
+    val estCols = qs.map { q =>
+      val b = col(s"b${(q * 100).round}")
+      round(col("lo") + b * (col("hi") - col("lo")) / buckets, 6)
+        .as(s"p${(q * 100).round}")
+    }
+    picked.crossJoin(broadcast(bounds))
+      .select(Seq(col("grp"), col("n")) ++ estCols: _*)
+  }
+
+  /** Deterministic Bloom-filter membership (Bloom 1970) — the set-sketch
+    * completing the family: is this token in the blocklist, with one-sided
+    * error (false POSITIVES possible, false negatives never)? k md5-derived
+    * bit positions per value: pos_i(v) = (first 3 hex chars of
+    * md5(v ':' i)) mod m.
+    *
+    * 100 TB shape: the build side collapses to ONE row holding ≤m set-bit
+    * positions (sorted, distinct) — broadcast regardless of blocklist
+    * cardinality; the probe is a narrow map (array_contains on the
+    * broadcast array, no join, no shuffle). The exact `in_set` column
+    * (broadcast left-semi shape via collected set) is small-scale
+    * verification of the no-false-negatives contract.
+    *
+    * Output: one row per distinct probe value — (item, bloom_hit, in_set).
+    */
+  def bloomMembership(probe: DataFrame, probeCol: String,
+                      block: DataFrame, blockCol: String,
+                      m: Int = 512, k: Int = 3): DataFrame = {
+    def pos(v: Column, i: Int): Column =
+      conv(substring(md5(concat(v, lit(":"), lit(i))), 1, 3), 16, 10)
+        .cast("int") % m
+    val bits = block.select(col(blockCol).as("b"))
+      .select(explode(array((0 until k).map(i => pos(col("b"), i)): _*)).as("pos"))
+      .agg(array_sort(collect_set(col("pos"))).as("bits"))
+    val blockSet = block.select(col(blockCol).as("b")).distinct()
+      .agg(array_sort(collect_set(col("b"))).as("bset"))
+    probe.select(col(probeCol).as("item")).distinct()
+      .crossJoin(broadcast(bits))
+      .crossJoin(broadcast(blockSet))
+      .select(col("item"),
+        (0 until k).map(i => array_contains(col("bits"), pos(col("item"), i)))
+          .reduce(_ && _).as("bloom_hit"),
+        array_contains(col("bset"), col("item")).as("in_set"))
+  }
 }

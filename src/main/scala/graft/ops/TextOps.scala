@@ -246,6 +246,38 @@ object TextOps {
     * both keyed on (doc_id[, bigram]) so they are uniform at 100 TB; docs
     * without bigrams keep a row (left join, zeroed stats).
     */
+  /** Context-window chunking — split each document into fixed-size token
+    * windows with overlap, the packing step feeding LM training (window =
+    * model context, stride < window → overlap keeps no boundary token
+    * unseen). Window starts are 0, stride, 2·stride, … while start < n;
+    * the final window may be partial. Emits (doc_id, win_idx, start_tok,
+    * win_tokens, chunk_hash) — the hash (md5 over the space-joined slice)
+    * stands in for the chunk payload so downstream exact-dedup of windows
+    * needs no text column.
+    *
+    * 100 TB shape: tokens materialized ONCE per doc (no-CSE-in-lambdas
+    * discipline), then a narrow posexplode over the start sequence — zero
+    * shuffles, work ∝ output windows; slice/concat_ws/md5 all codegen'd.
+    * Zero-token docs produce zero windows (documented; the oracle filters
+    * identically).
+    */
+  def tokenWindows(docs: DataFrame, window: Int = 64, stride: Int = 48,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride))))
+      .withColumnRenamed("pos", "win_idx").withColumnRenamed("col", "start_tok")
+      .select(col("doc_id"), col("win_idx"), col("start_tok"),
+        slice(col("toks"), col("start_tok") + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("win_idx").cast("long").as("win_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("win_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+  }
+
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
       .select(col("doc_id"),

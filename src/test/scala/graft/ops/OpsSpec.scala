@@ -1013,4 +1013,23 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((1L, 3L, 1L))) // longest text keeps despite largest id
     assert(out(10L) == ((10L, 2L, 1L)) && out(11L) == ((10L, 2L, 0L))) // tie → min id
   }
+
+  test("tokenWindows: starts at every stride < n, partial tail, md5 payload, empty doc dropped") {
+    val toks = (1 to 10).map(i => s"t$i")
+    val d = docs(1L -> toks.mkString(" "), 2L -> "a b", 3L -> "")
+    val out = TextOps.tokenWindows(d, window = 4, stride = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    // doc 1: n=10 → starts 0,3,6,9; window 4 clamps the tail
+    val exp = Seq(0L -> (0 until 4), 1L -> (3 until 7), 2L -> (6 until 10), 3L -> (9 until 10))
+    exp.foreach { case (wi, range) =>
+      val chunk = range.map(toks)
+      assert(out((1L, wi)) ==
+        ((range.start.toLong, chunk.size.toLong, graft.text.PyText.md5Hex(chunk.mkString(" ")))))
+    }
+    // doc 2: single partial window; doc 3 (zero tokens): no rows
+    assert(out((2L, 0L)) == ((0L, 2L, graft.text.PyText.md5Hex("a b"))))
+    assert(out.keys.map(_._1).toSet == Set(1L, 2L))
+    assert(out.size == 5)
+  }
 }

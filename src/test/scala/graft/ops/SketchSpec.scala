@@ -109,4 +109,56 @@ class SketchSpec extends SparkSpec {
     // with 40 items in 4 buckets, at least one probe must actually overcount
     assert(got.exists { case (_, ex, est) => est > ex })
   }
+
+  test("histogramQuantiles: matches driver replay, error <= one bucket width, degenerate group") {
+    import spark.implicits._
+    val buckets = 16
+    // group a: 1..100 uniform; group b: constant (hi==lo handled globally)
+    val vals = (1 to 100).map(i => ("a", i.toDouble)) ++ Seq.fill(10)(("b", 40.0))
+    val df = vals.toDF("g", "v")
+    val out = Sketch.histogramQuantiles(df, "v", "g", buckets = buckets,
+        qs = Seq(0.5, 0.9)).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // driver replay
+    val lo = 1.0; val hi = 100.0
+    def bucket(v: Double): Int = math.min(math.floor((v - lo) / (hi - lo) * buckets), buckets - 1).toInt
+    def replay(vs: Seq[Double], q: Double): Double = {
+      val counts = vs.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+      val sorted = counts.toSeq.sortBy(_._1)
+      val n = vs.size.toLong
+      var cum = 0L
+      val b = sorted.collectFirst { case (bk, c) if { cum += c; cum.toDouble >= q * n } => bk }.get
+      BigDecimal(lo + b * (hi - lo) / buckets).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val as = vals.filter(_._1 == "a").map(_._2)
+    assert(out("a")._1 == 100L)
+    assert(out("a")._2 == replay(as, 0.5))
+    assert(out("a")._3 == replay(as, 0.9))
+    // estimate within one bucket width of the exact quantile
+    val w = (hi - lo) / buckets
+    assert(math.abs(out("a")._2 - 50.0) <= w + 1e-9)
+    assert(math.abs(out("a")._3 - 90.0) <= w + 1e-9)
+    // constant group: all its mass in bucket(40.0), both quantiles = that edge
+    val bEdge = BigDecimal(lo + bucket(40.0) * w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("b") == ((10L, bEdge, bEdge)))
+  }
+
+  test("bloomMembership: replay-exact, no false negatives, forced false positive") {
+    import spark.implicits._
+    val m = 16; val k = 2 // tiny filter → false positives near-certain
+    val block = (1 to 10).map(i => s"bad$i").toDF("b")
+    val probe = ((1 to 10).map(i => s"bad$i") ++ (1 to 40).map(i => s"ok$i")).toDF("p")
+    val got = Sketch.bloomMembership(probe, "p", block, "b", m = m, k = k)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2))).toSeq
+    def pos(v: String, i: Int): Int = Integer.parseInt(md5Hex(s"$v:$i").substring(0, 3), 16) % m
+    val bits = (for (v <- (1 to 10).map(i => s"bad$i"); i <- 0 until k) yield pos(v, i)).toSet
+    got.foreach { case (v, hit, inSet) =>
+      assert(inSet == v.startsWith("bad"))
+      assert(hit == (0 until k).forall(i => bits(pos(v, i))))
+      if (inSet) assert(hit, s"false negative on $v") // the Bloom contract
+    }
+    assert(got.size == 50)
+    // 20 of 16 possible bit positions set → a clean item must collide
+    assert(got.exists { case (_, hit, inSet) => hit && !inSet })
+  }
 }
