@@ -334,6 +334,24 @@ object SparkEntry {
       Sketch.bloomMembership(spans, "s", block, "s")
     }),
 
+    // Unicode NFC normalization (custom codegen'd Catalyst expression —
+    // Spark has no builtin): deterministic non-NFC augmentation lattice
+    // (combining acute/ring/diaeresis compose; the fi ligature must NOT —
+    // that's NFKC), normalized TEXT itself hash-compared, DuckDB
+    // nfc_normalize as the independent UAX #15 implementation.
+    "q72_nfc_normalize" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"), concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" cafe\u0301"))
+          .when(col("doc_id") % 4 === 1, lit(" A\u030Angstro\u0308m"))
+          .when(col("doc_id") % 4 === 2, lit(" \uFB01nal"))
+          .otherwise(lit(""))).as("text"))
+      aug.withColumn("nfc", graft.expr.GraftExpressions.nfc_normalize(col("text")))
+        .select(col("doc_id"), col("nfc"),
+          length(col("text")).cast("long").as("n_before"),
+          length(col("nfc")).cast("long").as("n_after"),
+          (col("text") =!= col("nfc")).as("changed"))
+    }),
+
     "q13_langid" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val votes = TextOps.langVotes(col("text"))
@@ -1296,6 +1314,23 @@ object SparkEntry {
          SELECT pr.item, bool_and(list_contains(bits.bits, pr.pos)) AS bloom_hit,
                 (pr.item IN (SELECT s FROM block)) AS in_set
          FROM pr, bits GROUP BY pr.item, in_set""",
+
+    // NFC replay: identical decomposed augmentation via chr() codepoints
+    // (769=U+0301 acute, 778=U+030A ring, 776=U+0308 diaeresis,
+    // 64257=U+FB01 fi-ligature); DuckDB nfc_normalize is an independent
+    // UAX #15 implementation, and length() counts codepoints in both.
+    "q72_nfc_normalize" ->
+      """WITH aug AS (SELECT doc_id, text ||
+           CASE WHEN doc_id % 4 = 0 THEN ' cafe' || chr(769)
+                WHEN doc_id % 4 = 1 THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                WHEN doc_id % 4 = 2 THEN ' ' || chr(64257) || 'nal'
+                ELSE '' END AS text
+           FROM documents)
+         SELECT doc_id, nfc_normalize(text) AS nfc,
+                CAST(length(text) AS BIGINT) AS n_before,
+                CAST(length(nfc_normalize(text)) AS BIGINT) AS n_after,
+                (text <> nfc_normalize(text)) AS changed
+         FROM aug""",
 
     // Contamination replay: identical 8-gram construction (distinct per
     // doc), eval = src0/src1, threshold 0.05.

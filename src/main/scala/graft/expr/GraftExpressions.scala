@@ -98,6 +98,32 @@ object GraftExpressions {
     override def prettyName: String = "graft_dot"
   }
 
+  /** Unicode NFC normalization (UAX #15 canonical composition) — the
+    * text-canonicalization step a web corpus needs before hashing/dedup
+    * (the same logical text arrives as composed "é" from one site and
+    * "e"+U+0301 from another; every md5-keyed operator in this engine
+    * would treat them as distinct documents). Spark has no builtin;
+    * `java.text.Normalizer` (ICU-equivalent for NFC) via a real
+    * `doGenCode` static call keeps it inside whole-stage codegen.
+    * DuckDB's `nfc_normalize` implements the same UAX #15 — an
+    * independent implementation for the oracle.
+    */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_nfc requires STRING, got ${child.dataType}")
+    override def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"UTF8String.fromString(java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+    override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+    override def prettyName: String = "graft_nfc"
+  }
+
   import org.apache.spark.sql.GraftBridge
 
   def front_matter_strip(c: Column): Column =
@@ -106,6 +132,8 @@ object GraftExpressions {
     GraftBridge.column(ExtractText(GraftBridge.expression(c)))
   def dot_product(a: Column, b: Column): Column =
     GraftBridge.column(DotProduct(GraftBridge.expression(a), GraftBridge.expression(b)))
+  def nfc_normalize(c: Column): Column =
+    GraftBridge.column(NfcNormalize(GraftBridge.expression(c)))
 
   /** Register SQL functions on a session (graft_extract_text,
     * graft_front_matter_strip, graft_dot).
@@ -117,5 +145,7 @@ object GraftExpressions {
       "graft_front_matter_strip", exprs => FrontMatterStrip(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 }

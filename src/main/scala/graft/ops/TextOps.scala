@@ -512,9 +512,14 @@ object TextOps {
   def contaminationCheck(train: DataFrame, eval: DataFrame, n: Int = 8,
                          threshold: Double = 0.2,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // tokens materialized in their OWN projection before the shingle
+    // lambda: shingleArr's transform references the array 8× per position
+    // and HOF lambdas get no CSE — inlining tokens() here re-tokenized
+    // every doc hundreds of times (measured 17.8 s → ~1 s on q57 at sf0.1)
     def grams(df: DataFrame) =
-      df.select(col(idCol).as("doc_id"),
-        array_distinct(NearDup.shingleArr(tokens(col(textCol)), n)).as("grams"))
+      df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+        .select(col("doc_id"),
+          array_distinct(NearDup.shingleArr(col("toks"), n)).as("grams"))
     val evalPairs = grams(eval)
       .select(explode(col("grams")).as("gram"), col("doc_id").as("eval_doc"))
     val tg = grams(train).select(col("doc_id"),

@@ -78,6 +78,38 @@ class GraftExpressionsSpec extends SparkSpec {
     assert(withNull.head.isNullAt(0))
   }
 
+  test("graft_nfc: matches java.text.Normalizer, composes marks, keeps ligatures, codegen'd") {
+    import spark.implicits._
+    val fixtures = Seq(
+      "cafe\u0301",             // e + combining acute -> \u00e9
+      "A\u030Angstro\u0308m",   // ring + diaeresis compose
+      "\uFB01nal",              // fi ligature: NFC must NOT decompose (NFKC would)
+      "caf\u00e9",              // already composed: unchanged
+      "plain ascii", "")
+    val df = fixtures.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = df.select($"id", GraftExpressions.nfc_normalize($"s").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    fixtures.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i.toLong) == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+    }
+    assert(got(0L) == "caf\u00e9" && got(0L).length == 4)
+    assert(got(1L) == "\u00c5ngstr\u00f6m")
+    assert(got(2L) == "\uFB01nal") // unchanged
+    // composed and decomposed inputs now hash identically (the dedup motivation)
+    val k = df.select(md5(GraftExpressions.nfc_normalize($"s")).as("h"), $"id")
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    assert(k(0L) == k(3L))
+    // inside whole-stage codegen + SQL registration
+    GraftExpressions.register(spark)
+    df.createOrReplaceTempView("nfc_v")
+    assert(spark.sql("SELECT graft_nfc(s) AS n FROM nfc_v WHERE id = 0").collect()(0).getString(0) == "caf\u00e9")
+    val plan = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(GraftExpressions.nfc_normalize($"text").as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("graft_nfc") && l.trim.startsWith("*(")),
+      s"graft_nfc not inside a codegen stage:\n$plan")
+  }
+
   test("type checking rejects wrong input types") {
     import spark.implicits._
     val df = Seq(1, 2).toDF("x")
