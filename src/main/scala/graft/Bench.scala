@@ -216,7 +216,9 @@ object Bench {
       "q61_range_join", "q62_neardup_clusters", "q63_triangle_stats",
       "q64_khop", "q65_pmi_collocations", "q66_cms_heavy_hitters",
       "q67_json_props", "q68_url_canon", "q69_quantile_sketch",
-      "q70_token_windows", "q71_bloom_membership", "q72_nfc_normalize")
+      "q70_token_windows", "q71_bloom_membership", "q72_nfc_normalize",
+      "q73_prefix_jaccard", "q74_bm25_topk", "q75_incremental_neardup",
+      "q76_integrity_audit", "q77_weighted_sssp")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

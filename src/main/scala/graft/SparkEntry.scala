@@ -184,10 +184,69 @@ object SparkEntry {
         concat(lit("node_"), substring(sha2(lit("tpch:region:ASIA"), 256), 1, 16)),
         k = 4, srcCol = "src_id", dstCol = "dst_id")),
 
+    // Bounded WEIGHTED single-source shortest path (4 Bellman-Ford rounds,
+    // delta relaxation) — q64's k-hop with integer edge weights derived
+    // deterministically from the edge-id hash (first hex char → 1..16).
+    // Exact integer distance arithmetic; oracle = bounded recursive CTE.
+    "q77_weighted_sssp" -> ((s, dir) => {
+      val e = queries("q19_kg_edges")(s, dir)
+        .select(col("src_id").as("src"), col("dst_id").as("dst"),
+          expr("instr('0123456789abcdef', substring(edge_id, 6, 1))").cast("long").as("w"))
+      graft.graph.ShortestPath.ssspBounded(s, e,
+        concat(lit("node_"), substring(sha2(lit("tpch:region:ASIA"), 256), 1, 16)),
+        rounds = 4)
+    }),
+
     // Corpus-level collocation detection: PMI of adjacent token bigrams
     // (count >= 5) against the unigram independence baseline.
     "q65_pmi_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(t(s, dir, "documents"))),
+
+    // Referential-integrity audit (the pre-promotion gate a KG batch write
+    // runs): six constraint checks over nodes/edges. The corpus graph is
+    // clean by construction, so the query plants deterministic corruption
+    // first — drops nodes whose hash starts 'a' (dangling endpoints),
+    // duplicates edges starting 'b', adds self-loops for 'c', empty-content
+    // clones for 'd', duplicate node rows for 'e' — all six checks fire
+    // nonzero — and the oracle replays plant + audit.
+    "q76_integrity_audit" -> ((s, dir) => {
+      val nodes0 = queries("q18_kg_nodes")(s, dir)
+      val edges0 = queries("q19_kg_edges")(s, dir)
+      val nodes = nodes0.where(substring(col("node_id"), 6, 1) =!= "a")
+        .union(nodes0.where(substring(col("node_id"), 6, 1) === "d")
+          .select(concat(col("node_id"), lit("_e")).as("node_id"),
+            col("node_type"), lit("").as("content")))
+        .union(nodes0.where(substring(col("node_id"), 6, 1) === "e"))
+      val edges = edges0
+        .union(edges0.where(substring(col("edge_id"), 6, 1) === "b"))
+        .union(edges0.where(substring(col("edge_id"), 6, 1) === "c")
+          .select(concat(col("edge_id"), lit("_sl")).as("edge_id"),
+            col("src_id"), col("src_id").as("dst_id"), col("rel")))
+      // the audit scans each input twice; these are sha256-derived frames,
+      // not tables, so materialize once (at scale they'd be parquet reads)
+      graft.kg.GraphQueries.integrityAudit(nodes.localCheckpoint(), edges.localCheckpoint())
+    }),
+
+    // EXACT set-similarity join (AllPairs/PPJoin prefix filtering): every
+    // pair with token-bigram-set Jaccard >= 9/10, recall-lossless — the
+    // hard-contract alternative to LSH. All threshold math is integer-
+    // rational; the oracle brute-forces all-pairs, so the prefix filter's
+    // zero recall loss is itself driver-hash-checked. (The synthetic corpus
+    // has a ~30-word vocabulary, so EVERY bigram is corpus-common — the
+    // adversarial case for prefix filtering; the high threshold keeps
+    // prefixes short. Real Zipfian corpora prune far better at lower t.)
+    "q73_prefix_jaccard" -> ((s, dir) =>
+      NearDup.prefixJaccardPairs(t(s, dir, "documents"), num = 9, den = 10)),
+
+    // BM25 top-3 retrieval over the corpus for a fixed query set (Lucene-
+    // default k1=1.2, b=0.75). Per-term contributions rounded to 6 dp and
+    // summed as DECIMAL so the score is aggregation-order-independent.
+    "q74_bm25_topk" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(("qry0", "spark table join"), ("qry1", "window agg group"),
+        ("qry2", "stream batch vector")).toDF("query_id", "qtext")
+      TextOps.bm25TopK(t(s, dir, "documents"), qs)
+    }),
 
     // Train/eval contamination scan: sources src0/src1 play the benchmark
     // suite, everything else is the training corpus; 8-gram overlap.
@@ -521,6 +580,15 @@ object SparkEntry {
 
     "q36_simhash_neardup" -> ((s, dir) =>
       NearDup.simhashNearDupPairs(t(s, dir, "documents"), maxHamming = 4)),
+
+    // Incremental (new-shard × existing-corpus) near-dup — odd doc_ids play
+    // today's crawl batch, even doc_ids the accumulated corpus. The oracle
+    // replays the per-side banding and the asymmetric candidate join.
+    "q75_incremental_neardup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      NearDup.incrementalNearDup(
+        d.where(col("doc_id") % 2 === 1), d.where(col("doc_id") % 2 === 0), 0.8)
+    }),
 
     // The 5th dedup family: feature-hashed doc embeddings (identical docs →
     // identical vectors) → hyperplane-LSH candidates (12 planes × 4 tables;
@@ -1104,6 +1172,31 @@ object SparkEntry {
                           WHERE r.d < 4)
          SELECT id AS node_id, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY 1""",
 
+    // Weighted-SSSP replay: q19's edge CTE with the same hash-derived
+    // weights, symmetrized, bounded weighted recursive closure (h counts
+    // edges; d accumulates exact BIGINT weight), dist = min d.
+    "q77_weighted_sssp" ->
+      """WITH RECURSIVE e0 AS (
+           SELECT 'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16) AS src,
+                  'node_' || substr(sha256('tpch:region:' || r_name), 1, 16) AS dst,
+                  'part_of' AS rel
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'node_' || substr(sha256('tpch:customer:' || c_name), 1, 16),
+                  'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16),
+                  'located_in'
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         ew AS (SELECT src, dst,
+                  CAST(strpos('0123456789abcdef',
+                    substr(sha256('tpch:' || src || ':' || dst || ':' || rel), 1, 1)) AS BIGINT) AS w
+                FROM e0),
+         ed AS (SELECT DISTINCT * FROM (SELECT src, dst, w FROM ew UNION ALL SELECT dst, src, w FROM ew)),
+         reach(id, d, h) AS (
+           SELECT 'node_' || substr(sha256('tpch:region:ASIA'), 1, 16), CAST(0 AS BIGINT), 0
+           UNION
+           SELECT ed.dst, r.d + ed.w, r.h + 1 FROM ed JOIN reach r ON ed.src = r.id WHERE r.h < 4)
+         SELECT id AS node_id, CAST(min(d) AS BIGINT) AS dist FROM reach GROUP BY 1""",
+
     // PMI replay: identical double cast/div/mul tree so the rounded value
     // is bit-identical (DuckDB sum() yields HUGEINT and bare 1.0 is
     // DECIMAL — both must be cast to DOUBLE explicitly).
@@ -1124,6 +1217,88 @@ object SparkEntry {
          FROM bi b JOIN uni cx ON b.x = cx.tok JOIN uni cy ON b.y = cy.tok
          CROSS JOIN tb CROSS JOIN tn
          WHERE b.c_xy >= 5""",
+
+    // Integrity-audit replay: identical corruption plant over the q18/q19
+    // CTEs, then the six checks as scalar aggregates.
+    "q76_integrity_audit" ->
+      """WITH nodes0 AS (
+           SELECT 'node_' || substr(sha256('tpch:' || node_type || ':' || content), 1, 16) AS node_id,
+                  node_type, content
+           FROM (SELECT 'region' AS node_type, r_name AS content FROM region
+                 UNION ALL SELECT 'nation', n_name FROM nation
+                 UNION ALL SELECT 'customer', c_name FROM customer)),
+         e0 AS (
+           SELECT 'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16) AS src_id,
+                  'node_' || substr(sha256('tpch:region:' || r_name), 1, 16) AS dst_id,
+                  'part_of' AS rel
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           UNION ALL
+           SELECT 'node_' || substr(sha256('tpch:customer:' || c_name), 1, 16),
+                  'node_' || substr(sha256('tpch:nation:' || n_name), 1, 16),
+                  'located_in'
+           FROM customer JOIN nation ON c_nationkey = n_nationkey),
+         edges0 AS (
+           SELECT 'edge_' || substr(sha256('tpch:' || src_id || ':' || dst_id || ':' || rel), 1, 16) AS edge_id,
+                  src_id, dst_id, rel FROM e0),
+         nodes AS (SELECT * FROM nodes0 WHERE substr(node_id, 6, 1) <> 'a'
+                   UNION ALL
+                   SELECT node_id || '_e', node_type, '' FROM nodes0 WHERE substr(node_id, 6, 1) = 'd'
+                   UNION ALL
+                   SELECT * FROM nodes0 WHERE substr(node_id, 6, 1) = 'e'),
+         edges AS (SELECT * FROM edges0
+                   UNION ALL
+                   SELECT * FROM edges0 WHERE substr(edge_id, 6, 1) = 'b'
+                   UNION ALL
+                   SELECT edge_id || '_sl', src_id, src_id, rel FROM edges0 WHERE substr(edge_id, 6, 1) = 'c'),
+         ids AS (SELECT DISTINCT node_id FROM nodes)
+         SELECT 'dangling_src' AS check_name, count(*) AS n FROM edges WHERE src_id NOT IN (SELECT node_id FROM ids)
+         UNION ALL SELECT 'dangling_dst', count(*) FROM edges WHERE dst_id NOT IN (SELECT node_id FROM ids)
+         UNION ALL SELECT 'duplicate_edge_id', count(*) - count(DISTINCT edge_id) FROM edges
+         UNION ALL SELECT 'duplicate_node_id', count(*) - count(DISTINCT node_id) FROM nodes
+         UNION ALL SELECT 'self_loop', count(*) FROM edges WHERE src_id = dst_id
+         UNION ALL SELECT 'empty_content', count(*) FROM nodes WHERE content IS NULL OR content = ''""",
+
+    // Brute-force all-pairs token-bigram Jaccard — proves the engine's
+    // prefix filter loses NO pair (exact rational threshold test on both
+    // sides; jaccard column is display-only, same long/long->double round).
+    "q73_prefix_jaccard" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         bg AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] AS gram
+                FROM tk, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i)
+                WHERE len(l) >= 2),
+         sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY 1),
+         pairs AS (SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS inter
+                   FROM bg x JOIN bg y ON x.gram = y.gram AND x.doc_id < y.doc_id
+                   GROUP BY 1, 2)
+         SELECT d1, d2, inter, s1.n AS n1, s2.n AS n2,
+                round(inter / (s1.n + s2.n - inter), 6) AS jaccard
+         FROM pairs JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE inter * 10 >= (s1.n + s2.n - inter) * 9""",
+
+    // BM25 replay: contributions as one left-assoc double tree (all float
+    // literals forced DOUBLE with e0 — bare 1.0 is DECIMAL in DuckDB),
+    // rounded + DECIMAL(18,6)-cast BEFORE the sum so aggregation order
+    // cannot move the final double.
+    "q74_bm25_topk" ->
+      """WITH qs(query_id, qtext) AS (VALUES
+           ('qry0', 'spark table join'), ('qry1', 'window agg group'),
+           ('qry2', 'stream batch vector')),
+         tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok FROM tk),
+         tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+         df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         qt AS (SELECT query_id, unnest(list_distinct(list_filter(regexp_split_to_array(qtext,'\s+'), x -> x <> ''))) AS tok FROM qs),
+         sc AS (SELECT query_id, doc_id,
+                  CAST(round(ln(1e0 + (CAST(n_docs AS DOUBLE) - df + 0.5e0) / (df + 0.5e0)) *
+                    ((tf * 2.2e0) / (tf + 1.2e0 * (0.25e0 + 0.75e0 * dl * n_docs / CAST(sum_dl AS DOUBLE)))), 6)
+                    AS DECIMAL(18,6)) AS contrib
+                FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) JOIN qt USING (tok) CROSS JOIN st),
+         ag AS (SELECT query_id, doc_id, CAST(sum(contrib) AS DOUBLE) AS score FROM sc GROUP BY 1, 2),
+         rk AS (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk FROM ag)
+         SELECT query_id, doc_id, score, rnk FROM rk WHERE rnk <= 3""",
 
     "q55_tfidf_topk" ->
       """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
@@ -1677,6 +1852,32 @@ object SparkEntry {
                    GROUP BY 1, 2)
          SELECT d1, d2, round(inter / (s1.n + s2.n - inter), 6) AS jaccard
          FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+         WHERE round(inter / (s1.n + s2.n - inter), 6) > 0.8""",
+
+    // q34's banding replayed per doc (bands are per-document, so computing
+    // them over the union equals the engine's per-side computation); the
+    // candidate join keeps only odd(new)×even(old) pairs.
+    "q75_incremental_neardup" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         sh AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+                FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         seeds AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS seed),
+         mh AS (SELECT doc_id, seed, min(md5(shingle || ':' || CAST(seed AS VARCHAR))) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+         bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT c.new_id, c.old_id, count(*) AS inter
+                   FROM cand c JOIN sh x ON x.doc_id = c.new_id
+                               JOIN sh y ON y.doc_id = c.old_id AND y.shingle = x.shingle
+                   GROUP BY 1, 2)
+         SELECT new_id, old_id, round(inter / (s1.n + s2.n - inter), 6) AS jaccard
+         FROM inter JOIN sizes s1 ON new_id = s1.doc_id JOIN sizes s2 ON old_id = s2.doc_id
          WHERE round(inter / (s1.n + s2.n - inter), 6) > 0.8""",
 
     // q34's pipeline with the guardrail count-filter replayed: buckets with

@@ -92,4 +92,57 @@ object GraphQueries {
           lit(0.2) * least(col("entity_diversity") / 6.0, lit(1.0)) +
           lit(0.2) * least(col("relationship_diversity") / 5.0, lit(1.0)))
   }
+
+  /** Referential-integrity audit over a (nodes, edges) graph — the
+    * post-write validation a KG ingest pipeline runs before promoting a
+    * batch (S6 generalized from read-back counts to constraint checks).
+    * One row per check, ALWAYS all six rows (zero-violation checks report
+    * 0, so a green audit is an explicit six-row certificate, not an empty
+    * frame):
+    *   dangling_src / dangling_dst — edge endpoint not present in nodes
+    *   duplicate_edge_id / duplicate_node_id — id occurs on >1 row (counts
+    *     the EXTRA rows: total - distinct)
+    *   self_loop — src_id = dst_id
+    *   empty_content — node content NULL or ''
+    *
+    * 100 TB shape: exactly TWO scans of edges and TWO of nodes — a naive
+    * one-branch-per-check union re-scans the (100 TB) edge table six
+    * times. Both dangling checks ride one exploded-endpoint anti-join
+    * against the node-id set (no collect); both per-table duplicate/
+    * content checks fold into ONE scalar aggregate per table, unpivoted.
+    * Callers should pass materialized tables (or checkpoint derived
+    * frames) — the audit consumes each input twice. Column names follow
+    * q18/q19 (node_id/content, edge_id/src_id/dst_id).
+    */
+  def integrityAudit(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val ids = nodes.select(col("node_id")).distinct()
+    // scan 1 of edges: both endpoint sides tagged, one anti-join; the
+    // literal check list left-joined back so zero-violation sides still
+    // report an explicit 0 row
+    val dangling = Seq("dangling_src", "dangling_dst").toDF("check_name")
+      .join(
+        edges.select(col("src_id").as("node_id"), lit("dangling_src").as("check_name"))
+          .unionAll(edges.select(col("dst_id").as("node_id"), lit("dangling_dst").as("check_name")))
+          .join(ids, Seq("node_id"), "left_anti")
+          .groupBy(col("check_name")).agg(count(lit(1)).as("cn")),
+        Seq("check_name"), "left")
+      .select(col("check_name"), coalesce(col("cn"), lit(0L)).as("n"))
+    // scan 2 of edges / scan 2 of nodes: all scalar checks in one
+    // aggregate each, unpivoted via map+explode (order = declaration order)
+    val edgeChecks = edges.agg(
+        (count(lit(1)) - countDistinct(col("edge_id"))).as("dup"),
+        coalesce(sum(when(col("src_id") === col("dst_id"), 1L).otherwise(0L)), lit(0L)).as("loops"))
+      .select(explode(map(
+        lit("duplicate_edge_id"), col("dup"),
+        lit("self_loop"), col("loops"))).as(Seq("check_name", "n")))
+    val nodeChecks = nodes.agg(
+        (count(lit(1)) - countDistinct(col("node_id"))).as("dup"),
+        coalesce(sum(when(col("content").isNull || col("content") === "", 1L).otherwise(0L)), lit(0L)).as("empty"))
+      .select(explode(map(
+        lit("duplicate_node_id"), col("dup"),
+        lit("empty_content"), col("empty"))).as(Seq("check_name", "n")))
+    dangling.unionAll(edgeChecks).unionAll(nodeChecks)
+  }
 }

@@ -150,6 +150,83 @@ object NearDup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
+    * PPJoin family, Bayardo et al. WWW'07 / Xiao et al. WWW'08 — the
+    * MapReduce formulation is Vernica et al. SIGMOD'10): all pairs of
+    * documents whose TOKEN-BIGRAM sets have Jaccard >= num/den, with NO
+    * recall loss — the lossless alternative to MinHash LSH (`lshVerified*`)
+    * when the threshold is a hard contract rather than a recall/cost knob.
+    *
+    * Candidate pruning: order every document's gram set by one global
+    * rarest-first total order (document frequency asc, gram asc) and emit
+    * only each doc's PREFIX — the first `n - ceil(t·n) + 1` grams. For any
+    * pair with J >= t, the smallest shared gram in that order provably
+    * falls inside BOTH prefixes (if all shared grams sat outside a prefix,
+    * the overlap would be <= ceil(t·n) - 1 < t·n, contradicting J >= t), so
+    * a prefix×prefix equi-join on the gram loses nothing. A size filter
+    * (den·min >= num·max, integer — J >= t forces sizes within a t factor)
+    * prunes further before exact verification.
+    *
+    * All threshold tests use EXACT integer arithmetic on the rational
+    * num/den (ceil(t·n) = (num·n + den - 1) div den; final test
+    * inter·den >= num·(n1+n2-inter)) — no float ceil/rounding can disagree
+    * with the oracle at knife-edge Jaccard values. `jaccard` in the output
+    * is display-only.
+    *
+    * 100 TB shape: one gram scan (checkpointed — feeds the df aggregation,
+    * the prefix build, and both verification joins), one vocabulary-sized
+    * df aggregation + join (no global rank window — the sort key is the
+    * zero-padded df string, so ordering needs no single-partition pass),
+    * one per-doc sort (narrow), then an equi-join on prefix grams. The
+    * rarest-first order is the skew guard: ubiquitous grams land in a
+    * prefix only for docs consisting almost entirely of ubiquitous grams.
+    * Output: (d1, d2, inter, n1, n2, jaccard), d1 < d2.
+    */
+  def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(num > 0 && den >= num, s"threshold num/den must be in (0,1]: $num/$den")
+    // distinct token-bigram rows, one scan shared by df/prefix/verify
+    val grams = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(shingleArr(col("toks"), 2))).as("gram"))
+      .localCheckpoint()
+    val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    // rarest-first sortable key; df zero-padded so string order == (df, gram)
+    val keyed = grams.join(dfreq, Seq("gram"))
+      .select(col("doc_id"),
+        concat(lpad(col("df").cast("string"), 12, "0"), lit("|"), col("gram")).as("kg"))
+    val arrs = keyed.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("kg"))).as("kgs"))
+      .select(col("doc_id"), col("kgs"), size(col("kgs")).cast("long").as("n"))
+    // required overlap ceil(t·n) in exact integer arithmetic; prefix = rest + 1
+    val req = floor((col("n") * num + (den - 1)) / den).cast("long")
+    val pref = arrs.select(col("doc_id"), col("n"),
+      posexplode(slice(col("kgs"), lit(1), greatest(lit(0L), col("n") - req + 1).cast("int"))))
+      .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("p"), col("col").as("kg"))
+    // PPJoin positional filter: the pair's MINIMUM shared gram sits at
+    // (p1, p2) with every other shared gram strictly after both, so overlap
+    // <= 1 + min(n1-p1, n2-p2); J >= t needs overlap·(num+den) >= num·(n1+n2)
+    // (i/(n1+n2-i) >= num/den ⟺ i·(num+den) >= num·(n1+n2)). Rows generated
+    // by non-minimal shared grams may fail the bound — the pair survives via
+    // its minimal gram's row, so recall is intact and distinct() dedups.
+    val cand = pref.select(col("doc_id").as("d1"), col("n").as("n1"), col("p").as("p1"), col("kg"))
+      .join(pref.select(col("doc_id").as("d2"), col("n").as("n2"), col("p").as("p2"), col("kg")), Seq("kg"))
+      .where(col("d1") < col("d2"))
+      .where(least(col("n1"), col("n2")) * den >= greatest(col("n1"), col("n2")) * num)
+      .where((lit(1L) + least(col("n1") - col("p1"), col("n2") - col("p2"))) * (num + den) >=
+        (col("n1") + col("n2")) * num)
+      .select("d1", "d2", "n1", "n2").distinct()
+    val inter = cand
+      .join(grams.withColumnRenamed("doc_id", "d1"), Seq("d1"))
+      .join(grams.withColumnRenamed("doc_id", "d2"), Seq("d2", "gram"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .where(col("inter") * den >= (col("n1") + col("n2") - col("inter")) * num)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"), col("n2"),
+        round(col("inter") / (col("n1") + col("n2") - col("inter")), 6).as("jaccard"))
+  }
+
   /** Scale-path near-dup detection: exact Jaccard verification restricted to
     * LSH candidate pairs — the all-pairs shingle join (`jaccardPairs`) becomes
     * a candidate-driven semi-join, turning O(n²) verification into
@@ -185,6 +262,45 @@ object NearDup {
       .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
       .where(col("jaccard") > threshold)
       .select("d1", "d2", "jaccard")
+  }
+
+  /** INCREMENTAL near-dup: flag each document of a NEW shard whose
+    * shingle-set Jaccard with any EXISTING corpus document exceeds
+    * `threshold` — the asymmetric join a production ingest pipeline runs
+    * every batch (dedup today's crawl against the accumulated corpus)
+    * instead of re-running the all-corpus self-join. Same MinHash/LSH
+    * machinery as `lshVerifiedPairs`, but bands are computed per side and
+    * the candidate join is new×old only: the new shard is typically orders
+    * of magnitude smaller than the corpus, so its band table broadcasts and
+    * NO pairwise work scales with |corpus|² — only with |corpus| (its band
+    * scan) + |candidates|. At true scale the old side's shingle rows and
+    * bands are the PERSISTED dedup index (write them once per batch, reuse
+    * every subsequent batch); this entrypoint recomputes them so the
+    * operator is self-contained over two DataFrames.
+    * Output: (new_id, old_id, jaccard), one row per flagged cross pair.
+    */
+  def incrementalNearDup(newDocs: DataFrame, corpus: DataFrame, threshold: Double,
+                         k: Int = 8, rowsPerBand: Int = 4,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dsNew = shingleRows(newDocs, idCol, textCol).localCheckpoint()
+    val dsOld = shingleRows(corpus, idCol, textCol).localCheckpoint()
+    val cand = lshBands(minhashFromShingleRows(dsNew, k), rowsPerBand)
+      .select(col("doc_id").as("new_id"), col("band"), col("band_sig"))
+      .join(lshBands(minhashFromShingleRows(dsOld, k), rowsPerBand)
+        .select(col("doc_id").as("old_id"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
+      .select("new_id", "old_id").distinct()
+    val szNew = dsNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val szOld = dsOld.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    cand
+      .join(dsNew.withColumnRenamed("doc_id", "new_id"), Seq("new_id"))
+      .join(dsOld.withColumnRenamed("doc_id", "old_id"), Seq("old_id", "shingle"))
+      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("inter"))
+      .join(szNew.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n", "n1"), Seq("new_id"))
+      .join(szOld.withColumnRenamed("doc_id", "old_id").withColumnRenamed("n", "n2"), Seq("old_id"))
+      .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
+      .where(col("jaccard") > threshold)
+      .select("new_id", "old_id", "jaccard")
   }
 
   /** Buckets the `maxBucket` guardrail would prune: one cheap COUNT

@@ -470,6 +470,51 @@ object TextOps {
       .where(col("rnk") <= k)
   }
 
+  /** BM25 top-k retrieval (Robertson/Spärck Jones probabilistic ranking,
+    * the Lucene/Elasticsearch default): for each query in `queries`
+    * (query_id, qtext), the k highest-scoring documents under
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b + b·dl/avgdl)),
+    * idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)). Ties broken by doc_id asc.
+    *
+    * Determinism across engines: each per-term contribution is computed in
+    * one fixed left-associated double expression, rounded to 6 dp and cast
+    * to DECIMAL(18,6) BEFORE the per-(query,doc) sum — decimal addition is
+    * exact and order-independent, so the final double score is bit-identical
+    * regardless of aggregation order (the same discipline as q01's decimal
+    * sums). avgdl is expressed as dl·N/Σdl to divide once.
+    *
+    * 100 TB shape: one token explode; (doc,term) tf and doc-length
+    * aggregations; a vocabulary-sized df aggregation; the QUERY side —
+    * tiny by construction — broadcast onto the tf table so the only big
+    * shuffles are the tf/dl hash aggregations; corpus stats are a 1-row
+    * broadcast. Top-k per query is a window over ≤ |matching docs| rows.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 3,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val qt = queries.select(col("query_id"),
+      explode(array_distinct(tokens(col("qtext")))).as("tok"))
+    val contrib = round(
+      log(lit(1.0) + (col("n_docs").cast("double") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        ((col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") * col("n_docs") / col("sum_dl")))),
+      6).cast("decimal(18,6)")
+    val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("tok"))
+      .join(broadcast(qt), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
+    val agg = scored.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).cast("double").as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id").asc)
+    agg.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
   /** Corpus-unigram language-model quality score (the cheap stand-in for
     * KenLM perplexity filtering à la CCNet): p(tok) = corpus count / total
     * tokens, per-document score = mean log10 p over its tokens (higher =

@@ -1032,4 +1032,110 @@ class OpsSpec extends SparkSpec {
     assert(out.keys.map(_._1).toSet == Set(1L, 2L))
     assert(out.size == 5)
   }
+
+  /** Driver-side brute-force token-bigram Jaccard — the recall oracle for
+    * the prefix-filter join.
+    */
+  private def bruteBigramJaccard(rows: Seq[(Long, String)], num: Int, den: Int) = {
+    def grams(t: String): Set[String] = {
+      val tk = t.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 2) Set.empty else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val gs = rows.map { case (id, t) => id -> grams(t) }
+    for {
+      (i1, s1) <- gs; (i2, s2) <- gs if i1 < i2
+      inter = (s1 & s2).size
+      if inter * den >= num * (s1.size + s2.size - inter)
+    } yield (i1, i2, inter.toLong, s1.size.toLong, s2.size.toLong)
+  }
+
+  test("prefixJaccardPairs: zero recall loss vs brute force, incl. knife-edge J = threshold") {
+    // knife-edge: docs 1/2 share bigrams {ab,bc,cd} of sizes 5 and 4 →
+    // J = 3/(5+4-3) = 1/2 EXACTLY at t = 1/2 (a float ceil(0.5·n) would
+    // shorten the prefix and could drop it); 3/4 exact dups; 5 disjoint;
+    // 6/7 just under threshold; 8 too short for bigrams.
+    val rows = Seq(
+      1L -> "a b c d e f",         // bigrams: ab bc cd de ef (5)
+      2L -> "a b c d x",           // ab bc cd dx (4) — inter 3, union 6 → J = 1/2
+      3L -> "p q r s", 4L -> "p q r s",
+      5L -> "zz ww vv",
+      6L -> "m n o", 7L -> "m n q",
+      8L -> "solo")
+    val d = docs(rows: _*)
+    val exp = bruteBigramJaccard(rows, 1, 2).map(t => (t._1, t._2, t._3, t._4, t._5)).toSet
+    val got = NearDup.prefixJaccardPairs(d, 1, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == exp, s"got $got expected $exp")
+    assert(exp.contains((1L, 2L, 3L, 5L, 4L)))  // the knife-edge J = 1/2 pair survives
+    assert(exp.contains((3L, 4L, 3L, 3L, 3L)))  // the exact-dup pair is in both
+  }
+
+  test("prefixJaccardPairs: randomized corpus equals brute force at t = 3/5") {
+    // deterministic pseudo-random corpus: every even doc is a 1-token
+    // mutation of its predecessor (guaranteed high-Jaccard pairs at varied
+    // sizes), odd docs are independent (boundary/pruning traffic)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val rng = new scala.util.Random(42)
+    val rows = (1L to 20L).flatMap { i =>
+      val base = Vector.fill(6 + rng.nextInt(10))(vocab(rng.nextInt(vocab.size)))
+      val mutated = base.updated(rng.nextInt(base.size), vocab(rng.nextInt(vocab.size)))
+      Seq(2 * i - 1 -> base.mkString(" "), 2 * i -> mutated.mkString(" "))
+    }
+    val exp = bruteBigramJaccard(rows, 3, 5).map(t => (t._1, t._2)).toSet
+    val got = NearDup.prefixJaccardPairs(docs(rows: _*), 3, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exp, s"missing=${exp -- got} extra=${got -- exp}")
+    assert(exp.nonEmpty)  // the corpus genuinely exercises the join
+  }
+
+  test("incrementalNearDup: cross-side pairs only, both directions of asymmetry honored") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val newDocs = docs(
+      101L -> base,                                   // exact dup of corpus docs 1 and 3
+      102L -> (base + " tail"),                       // near-dup (may or may not share a band)
+      103L -> "completely unrelated text about nothing in particular at all")
+    val corpus = docs(
+      1L -> base,
+      2L -> "another unrelated corpus document with its own words entirely",
+      3L -> base)                                     // within-corpus dup of doc 1
+    val out = NearDup.incrementalNearDup(newDocs, corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every reported pair is new×old — the within-corpus dup (1,3) and any
+    // new-side pair (101,102) must NOT appear
+    assert(out.forall { case (n, o) => n >= 100L && o < 100L })
+    // identical text → identical signatures → band join cannot miss
+    assert(out.contains((101L, 1L)) && out.contains((101L, 3L)))
+    assert(!out.exists { case (n, o) => n == 103L || o == 2L })
+  }
+
+  test("bm25TopK: ranks the term-dense doc first, k and tie-break respected") {
+    import spark.implicits._
+    val d = docs(
+      1L -> "spark spark spark engine",       // high tf for 'spark', short
+      2L -> "spark engine engine engine engine engine engine engine", // low tf, long
+      3L -> "spark engine",                    // tf 1 but shortest doc
+      4L -> "nothing relevant here at all")
+    val qs = Seq(("q", "spark")).toDF("query_id", "qtext")
+    val out = TextOps.bm25TopK(d, qs, k = 3).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3))).sortBy(_._3)
+    assert(out.length == 3)                       // doc 4 never matches
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(out.head._1 == 1L, s"tf-dense doc must rank first: $out")
+    // scores strictly non-increasing in rank order
+    assert(out.sliding(2).forall(p => p.head._2 >= p.last._2))
+    // doc 2 (one hit in a long doc) must rank below doc 3 (one hit, short)
+    val rankOf = out.map(t => t._1 -> t._3).toMap
+    assert(rankOf(3L) < rankOf(2L), s"length normalization violated: $out")
+  }
+
+  test("bm25TopK: duplicate query terms count once; multi-term scores sum per-term decimals") {
+    import spark.implicits._
+    val d = docs(1L -> "x y", 2L -> "x z")
+    val once = TextOps.bm25TopK(d, Seq(("q", "x y")).toDF("query_id", "qtext"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    val dup = TextOps.bm25TopK(d, Seq(("q", "x y x y")).toDF("query_id", "qtext"), k = 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toMap
+    assert(once == dup)                            // array_distinct on query terms
+    assert(once(1L) > once(2L))                    // doc 1 matches both terms
+  }
 }
