@@ -218,7 +218,8 @@ object Bench {
       "q67_json_props", "q68_url_canon", "q69_quantile_sketch",
       "q70_token_windows", "q71_bloom_membership", "q72_nfc_normalize",
       "q73_prefix_jaccard", "q74_bm25_topk", "q75_incremental_neardup",
-      "q76_integrity_audit", "q77_weighted_sssp")
+      "q76_integrity_audit", "q77_weighted_sssp", "q78_link_graph",
+      "q79_hll_merged", "q80_stratum_topk", "q81_salted_agg")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

@@ -265,6 +265,20 @@ object SparkEntry {
         rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
         defaultRate = 0.1)),
 
+    // Exact-k per-stratum sample (fixed eval-set budget per source):
+    // smallest k md5 draws per stratum, re-runnable on any engine.
+    "q80_stratum_topk" -> ((s, dir) =>
+      TextOps.stratumTopK(t(s, dir, "documents"), k = 5)),
+
+    // Skew-immune two-stage SALTED aggregation over events: per-type
+    // count/sum/min/max with a 16-way salt on event_id. The oracle is the
+    // PLAIN group-by — hash equality proves the salted plan's exactness
+    // (sums ride DECIMAL so regrouping cannot move a double).
+    "q81_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedStats(t(s, dir, "events"), "event_type", "value",
+        col("event_id"), salts = 16)
+        .withColumnRenamed("key", "event_type")),
+
     // PII scrub: the corpus carries no PII, so the query deterministically
     // plants emails/IPs/phones on a doc_id lattice first — the oracle
     // replays the augmentation AND the scrub, exercising nonzero paths.
@@ -327,6 +341,17 @@ object SparkEntry {
       Sketch.hllDistinct(spans, "source", "s")
     }),
 
+    // Sketch MERGEABILITY, driver-checked: per-source HLL registers merged
+    // by bucketwise max → global estimate. The oracle computes the
+    // single-pass global sketch directly; hash equality of the two paths
+    // IS the merge proof (max associativity made observable).
+    "q79_hll_merged" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(NearDup.shingleArr(col("toks"), 2)).as("s"))
+      Sketch.hllMergedDistinct(spans, "source", "s")
+    }),
+
     // Semi-structured metadata extraction: events.props is a JSON payload
     // (the WARC/crawl-metadata shape); parse it with a TYPED from_json
     // schema (codegen'd Catalyst JsonToStructs — not regex, not a UDF) and
@@ -369,6 +394,28 @@ object SparkEntry {
         .withColumn("canon_url", UrlOps.canonicalize(col("url")))
         .withColumn("host", UrlOps.host(col("url")))
         .withColumn("registered_domain", UrlOps.registeredDomain(col("host")))
+    }),
+
+    // Domain link graph (the crawl host-graph stage): outlinks planted on a
+    // doc_id lattice (1 per doc + a 2nd for doc_id%3=0, targets/SOURCES
+    // derived arithmetically), extracted back out of the TEXT by regex,
+    // canonicalized to registered domains, aggregated to a weighted edge
+    // list. The oracle derives the expected domains STRAIGHT from the
+    // lattice arithmetic — two independent paths (regex+parse vs closed
+    // form) must agree row-for-row.
+    "q78_link_graph" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tgt1 = pmod(col("doc_id") * 7 + 1, lit(1000))
+      val s1 = concat(lit("src"), pmod(col("doc_id") * 3 + 1, lit(20)).cast("string"))
+      val tgt2 = pmod(col("doc_id") * 13 + 5, lit(1000))
+      val s2 = concat(lit("src"), pmod(col("doc_id") * 5 + 2, lit(20)).cast("string"))
+      val aug = d.select(col("doc_id"), col("source"), concat(
+        col("text"), lit(" see "), UrlOps.syntheticUrl(tgt1, s1),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" and "), UrlOps.syntheticUrl(tgt2, s2))).otherwise(lit("")))
+        .as("text"))
+      UrlOps.domainLinkGraph(aug,
+        UrlOps.registeredDomain(UrlOps.host(UrlOps.syntheticUrl(col("doc_id"), col("source")))))
     }),
 
     // Histogram-quantile sketch: per-event-type p50/p90/p99 of value from
@@ -1342,6 +1389,36 @@ object SparkEntry {
                  THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS hll_estimate
          FROM ex LEFT JOIN fin USING (source)""",
 
+    // Merged-HLL oracle: the SINGLE-PASS global sketch (no per-source
+    // level at all) — equality with the engine's shard-registers-then-
+    // bucketwise-max path is the mergeability proof.
+    "q79_hll_merged" ->
+      """WITH tk AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         sp AS (SELECT source, l[i] || ' ' || l[i+1] AS s
+                FROM tk, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i) WHERE len(l) >= 2),
+         h AS (SELECT source, md5(s) AS h, s FROM sp),
+         r AS (SELECT source, s,
+                 (strpos('0123456789abcdef', substr(h,1,1))-1)*16 + (strpos('0123456789abcdef', substr(h,2,1))-1) AS bucket,
+                 CASE WHEN ltrim(substr(h,3,12), '0') = '' THEN 49
+                      ELSE (12 - length(ltrim(substr(h,3,12), '0'))) * 4 +
+                           CASE WHEN substr(ltrim(substr(h,3,12), '0'),1,1) IN ('8','9','a','b','c','d','e','f') THEN 0
+                                WHEN substr(ltrim(substr(h,3,12), '0'),1,1) IN ('4','5','6','7') THEN 1
+                                WHEN substr(ltrim(substr(h,3,12), '0'),1,1) IN ('2','3') THEN 2
+                                ELSE 3 END + 1 END AS rho
+               FROM h),
+         regs AS (SELECT bucket, max(rho) AS mx FROM r GROUP BY 1),
+         est AS (SELECT count(*) AS n_registers, sum(power(2.0, -mx)) AS sum_present FROM regs),
+         fin AS (SELECT n_registers,
+                   (0.7213 / (1.0 + 1.079 / 256) * 256.0 * 256.0) / (sum_present + CAST(256 - n_registers AS DOUBLE)) AS raw,
+                   CAST(256 - n_registers AS DOUBLE) AS zeros
+                 FROM est),
+         ns AS (SELECT count(DISTINCT source) AS n_shards FROM r),
+         ex AS (SELECT count(DISTINCT s) AS n_exact FROM r)
+         SELECT n_shards, n_exact, n_registers,
+           round(CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+                 THEN 256.0 * ln(256.0 / zeros) ELSE raw END, 6) AS hll_estimate
+         FROM ns, ex, fin""",
+
     // JSON-props replay via native regexp (no DuckDB json-extension
     // dependency): '' (no match) → NULL k, like from_json on malformed
     // input; count(k) in the avg denominator skips nulls in both engines.
@@ -1423,6 +1500,41 @@ object SparkEntry {
                 ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS registered_domain
          FROM c"""
     },
+
+    // Link-graph oracle: domains derived in CLOSED FORM from the plant
+    // lattice (m%6 → known host → known registered domain) — fully
+    // independent of the engine's regex-extract + parse path.
+    "q78_link_graph" ->
+      """WITH l1 AS (SELECT doc_id, (doc_id * 7 + 1) % 1000 AS tgt FROM documents),
+         l2 AS (SELECT doc_id, (doc_id * 13 + 5) % 1000 AS tgt FROM documents WHERE doc_id % 3 = 0),
+         links AS (SELECT * FROM l1 UNION ALL SELECT * FROM l2),
+         dom AS (SELECT doc_id,
+                   CASE doc_id % 6 WHEN 1 THEN 'example.co.uk' WHEN 3 THEN 'example.org'
+                        ELSE 'example.com' END AS src_domain,
+                   CASE tgt % 6 WHEN 1 THEN 'example.co.uk' WHEN 3 THEN 'example.org'
+                        ELSE 'example.com' END AS dst_domain
+                 FROM links)
+         SELECT src_domain, dst_domain, count(*) AS n_links, count(DISTINCT doc_id) AS n_docs
+         FROM dom GROUP BY 1, 2""",
+
+    // Salted-agg oracle: the PLAIN group-by — if the two-stage salted plan
+    // changed any value, the hash check fails. DECIMAL sums keep the
+    // double cast grouping-independent.
+    "q81_salted_agg" ->
+      """SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+                CAST(min(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+                CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+         FROM events GROUP BY 1""",
+
+    // Exact-k stratum sample replay: same md5 draw, same rank windows.
+    "q80_stratum_topk" ->
+      """WITH d AS (SELECT doc_id, source AS stratum,
+                      md5('graft' || ':k:' || CAST(doc_id AS VARCHAR)) AS draw
+                    FROM documents),
+         rk AS (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY stratum ORDER BY draw ASC, doc_id ASC) AS BIGINT) AS rnk FROM d)
+         SELECT doc_id, stratum, draw, rnk FROM rk WHERE rnk <= 5""",
 
     // Histogram-quantile replay: same global-bounds bucket arithmetic
     // ((v-lo)/(hi-lo)*256, floor, clamp 255), same running-sum pick of the

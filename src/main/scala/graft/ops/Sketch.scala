@@ -49,14 +49,30 @@ object Sketch {
     * Output: (group, n_exact, n_registers, hll_estimate).
     */
   def hllDistinct(rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val m = hllM
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val h = rows.select(col(groupCol).as("grp"), md5(col(valueCol)).as("h"))
+    val est = estimateRegs(registers(rows, col(groupCol), valueCol))
+    val exact = rows.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    exact.join(est, Seq("grp"), "left")
+      .select(col("grp").as(groupCol), col("n_exact"),
+        coalesce(col("n_registers"), lit(0L)).as("n_registers"),
+        col("hll_estimate"))
+  }
+
+  /** (grp, bucket, mx) register rows for `valueCol` grouped by `grpExpr`. */
+  private def registers(rows: DataFrame, grpExpr: Column, valueCol: String): DataFrame =
+    rows.select(grpExpr.as("grp"), md5(col(valueCol)).as("h"))
       .select(col("grp"), col("h"),
         conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("bucket"),
         rho(substring(col("h"), 3, 12)).as("rho"))
-    val regs = h.groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mx"))
-    val est = regs.groupBy(col("grp")).agg(
+      .groupBy(col("grp"), col("bucket")).agg(max(col("rho")).as("mx"))
+
+  /** Estimator over (grp, bucket, mx) registers → (grp, n_registers,
+    * hll_estimate) with the linear-counting small-range correction.
+    */
+  private def estimateRegs(regs: DataFrame): DataFrame = {
+    val m = hllM
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs.groupBy(col("grp")).agg(
       count(lit(1)).as("n_registers"),
       sum(pow(lit(2.0), -col("mx"))).as("sum_present"))
       .select(col("grp"), col("n_registers"),
@@ -68,12 +84,27 @@ object Sketch {
         round(when(col("raw") <= 2.5 * m && col("zeros") > 0,
           lit(m.toDouble) * log(lit(m.toDouble) / col("zeros")))
           .otherwise(col("raw")), 6).as("hll_estimate"))
-    val exact = rows.groupBy(col(groupCol).as("grp"))
-      .agg(countDistinct(col(valueCol)).as("n_exact"))
-    exact.join(est, Seq("grp"), "left")
-      .select(col("grp").as(groupCol), col("n_exact"),
-        coalesce(col("n_registers"), lit(0L)).as("n_registers"),
-        col("hll_estimate"))
+  }
+
+  /** Two-level HLL MERGE — the property that makes sketches worth carrying
+    * at 100 TB: each shard computes its own m registers over its slice;
+    * the global sketch is the BUCKETWISE MAX of shard registers, never a
+    * re-scan of raw data (registers are a few hundred bytes per shard, so
+    * a 1000-executor merge moves kilobytes). max is associative/
+    * commutative, so merged registers are bit-identical to a single-pass
+    * global sketch — the driver oracle computes THAT directly, making the
+    * hash equality of the two paths the mergeability proof itself.
+    * Output (one row): (n_shards, n_exact, n_registers, hll_estimate);
+    * n_exact is the small-scale verification column.
+    */
+  def hllMergedDistinct(rows: DataFrame, shardCol: String, valueCol: String): DataFrame = {
+    val shardRegs = registers(rows, col(shardCol), valueCol)
+    val merged = shardRegs.groupBy(col("bucket")).agg(max(col("mx")).as("mx"))
+      .select(lit("all").as("grp"), col("bucket"), col("mx"))
+    val est = estimateRegs(merged).select(col("n_registers"), col("hll_estimate"))
+    val nShards = shardRegs.agg(countDistinct(col("grp")).as("n_shards"))
+    val exact = rows.agg(countDistinct(col(valueCol)).as("n_exact"))
+    nShards.crossJoin(exact).crossJoin(broadcast(est))
   }
 
   /** Deterministic, engine-portable Count-Min sketch (Cormode &

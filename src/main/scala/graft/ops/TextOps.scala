@@ -607,6 +607,29 @@ object TextOps {
       .select(col("doc_id"), col("stratum"), col("rate"), round(col("u"), 6).as("u6"))
   }
 
+  /** Deterministic EXACT-k per-stratum sample — the fixed-budget sibling of
+    * `stratifiedSample` (that one keeps a RATE, this one keeps exactly
+    * min(k, |stratum|) rows): rank rows inside each stratum by a portable
+    * md5 draw (id tiebreak) and keep the k smallest. Equivalent to a
+    * reservoir sample but order-independent and re-runnable — the same k
+    * rows come back on every engine and every retry, which is what a
+    * debugging/eval-set cut needs.
+    *
+    * 100 TB shape: one hash-partitioned sort per stratum (the window);
+    * skew = the largest stratum's sort. When k/|stratum| is tiny, pre-
+    * filtering by a draw threshold (stratifiedSample) before ranking
+    * bounds the sort input — compose the two for mega-strata.
+    */
+  def stratumTopK(docs: DataFrame, k: Int, seed: String = "graft",
+                  stratumCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val draw = md5(concat(lit(seed), lit(":k:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("draw").asc, col("doc_id").asc)
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"), draw.as("draw"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** PII detection + scrubbing (CCNet/Dolma-style pre-training hygiene):
     * count and replace emails, IPv4 addresses, and US-style phone numbers
     * with typed placeholder tags. Patterns are lookaround-free so Java

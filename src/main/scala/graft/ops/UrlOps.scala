@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization for web-crawl corpora — the normalization step that
@@ -109,4 +109,33 @@ object UrlOps {
         id, lit("#frag")))
       .otherwise(concat(lit("https://"), source, lit(".example.com")))
   }
+
+  /** In-text URL matcher — RE2/Java-portable (no lookaround, scheme case-
+    * insensitive via explicit classes rather than an (?i) flag); a URL runs
+    * to the next whitespace, the same boundary a crawler's WET extractor
+    * uses.
+    */
+  val linkRe = "[Hh][Tt][Tt][Pp][Ss]?://[^\\s]+"
+
+  /** Domain-level link graph from in-text URLs — the host-graph stage of a
+    * crawl pipeline (outlink extraction → canonical host → registered
+    * domain → aggregated edge list, the input PageRank/centrality runs on).
+    * `docDomain` is the originating page's registered domain (caller
+    * supplies it — from a url column, or derived).
+    *
+    * 100 TB shape: extraction + host/domain derivation are one narrow
+    * codegen'd projection per link (regex extract, split, CASE — no UDF);
+    * the only shuffle is the final (src_domain, dst_domain) aggregation,
+    * whose key space is the squared domain vocabulary, ≪ corpus. Output:
+    * (src_domain, dst_domain, n_links, n_docs).
+    */
+  def domainLinkGraph(docs: DataFrame, docDomain: Column,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), docDomain.as("src_domain"),
+        explode(regexp_extract_all(col(textCol), lit(linkRe), lit(0))).as("url"))
+      .select(col("doc_id"), col("src_domain"),
+        registeredDomain(host(col("url"))).as("dst_domain"))
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"), countDistinct(col("doc_id")).as("n_docs"))
 }

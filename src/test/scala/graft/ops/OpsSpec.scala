@@ -1128,6 +1128,36 @@ class OpsSpec extends SparkSpec {
     assert(rankOf(3L) < rankOf(2L), s"length normalization violated: $out")
   }
 
+  test("stratumTopK: exact k per stratum, small strata kept whole, deterministic across runs") {
+    import spark.implicits._
+    val d = ((1L to 20L).map(i => (i, "big")) ++ Seq((100L, "small"), (101L, "small")))
+      .toDF("doc_id", "source")
+    val out = TextOps.stratumTopK(d, k = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    assert(out.count(_._1 == "big") == 5)
+    assert(out.count(_._1 == "small") == 2)          // min(k, |stratum|)
+    assert(out.filter(_._1 == "big").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val again = TextOps.stratumTopK(d, k = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(3)))
+    assert(out.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("saltedStats: identical to the plain groupBy for every statistic") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i =>
+      (i, if (i % 10 == 0) "cold" else "hot", i * 0.31 - 17.0)) // 'hot' carries 90% of rows
+      .toDF("event_id", "event_type", "value")
+    val salted = Skew.saltedStats(rows, "event_type", "value", col("event_id"), salts = 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val plain = rows.select(col("event_type"), col("value").cast("decimal(18,6)").as("v"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("double").as("s"),
+        min(col("v")).cast("double").as("mn"), max(col("v")).cast("double").as("mx"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(salted == plain)
+    assert(salted("hot")._1 == 450L)
+  }
+
   test("bm25TopK: duplicate query terms count once; multi-term scores sum per-term decimals") {
     import spark.implicits._
     val d = docs(1L -> "x y", 2L -> "x z")

@@ -64,6 +64,21 @@ class UrlOpsSpec extends SparkSpec {
     assert(out(6L)._1 == "http://www.example.com/Articles/6?a=1&utm=x")
   }
 
+  test("domainLinkGraph: mixed-case schemes extracted, domains resolved, counts right") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "word HTTP://WWW.Example.COM:80/a word https://cdn.x.example.co.uk/b trailing"),
+      (2L, "no links here at all"),
+      (3L, "https://a.example.org/x and https://b.example.org/y"))
+      .toDF("doc_id", "text")
+    val out = UrlOps.domainLinkGraph(d, lit("self.com")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out == Map(
+      ("self.com", "example.com") -> ((1L, 1L)),     // the UPPERCASE-scheme link
+      ("self.com", "example.co.uk") -> ((1L, 1L)),   // two-level public suffix
+      ("self.com", "example.org") -> ((2L, 1L))))    // two links, one doc
+  }
+
   private implicit class ToMap2(rows: Array[(Long, String, String)]) {
     def toMap2: Map[Long, (String, String)] =
       rows.map { case (k, a, b) => k -> ((a, b)) }.toMap
