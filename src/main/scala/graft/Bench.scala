@@ -219,7 +219,9 @@ object Bench {
       "q70_token_windows", "q71_bloom_membership", "q72_nfc_normalize",
       "q73_prefix_jaccard", "q74_bm25_topk", "q75_incremental_neardup",
       "q76_integrity_audit", "q77_weighted_sssp", "q78_link_graph",
-      "q79_hll_merged", "q80_stratum_topk", "q81_salted_agg")
+      "q79_hll_merged", "q80_stratum_topk", "q81_salted_agg",
+      "q82_cube_segments", "q83_funnel", "q84_scd2_intervals",
+      "q85_phrase_search", "q86_rate_anomalies")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

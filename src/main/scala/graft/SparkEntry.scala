@@ -93,6 +93,18 @@ object SparkEntry {
           sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
     }),
 
+    // Full CUBE with grouping_id — the grouping-sets surface q06's rollup
+    // leaves uncovered; gid disambiguates which axes each row aggregates.
+    "q82_cube_segments" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .cube(col("r_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"),
+          grouping_id().as("gid"))
+    }),
+
     "q07_priority_setops" -> ((s, dir) => {
       val o = t(s, dir, "orders")
       val f = o.where(col("o_orderstatus") === "F").select(col("o_orderpriority")).distinct()
@@ -202,6 +214,14 @@ object SparkEntry {
     "q65_pmi_collocations" -> ((s, dir) =>
       TextOps.pmiCollocations(t(s, dir, "documents"))),
 
+    // Positional phrase search: exact words-in-a-row retrieval. Engine
+    // matches phrases as single n-gram postings (no posting-list
+    // self-joins); the oracle replays the CLASSIC positional-join
+    // formulation — two independent algorithms must agree.
+    "q85_phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(t(s, dir, "documents"),
+        Seq(("p0", "table hash"), ("p1", "customer join"), ("p2", "slow hash batch")))),
+
     // Referential-integrity audit (the pre-promotion gate a KG batch write
     // runs): six constraint checks over nodes/edges. The corpus graph is
     // clean by construction, so the query plants deterministic corruption
@@ -295,6 +315,24 @@ object SparkEntry {
           .otherwise(lit(""))).as("text"))
       TextOps.piiScrub(aug)
     }),
+
+    // Ordered funnel (view → click → purchase): first time each step fired
+    // STRICTLY AFTER the previous step, per user; stage = completed steps.
+    "q83_funnel" -> ((s, dir) =>
+      TimeJoin.funnel(t(s, dir, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))),
+
+    // SCD2 validity intervals from the event log: each 'view' event valid
+    // until the user's next view (null = current) — the CDC snapshot
+    // builder every warehouse runs.
+    "q84_scd2_intervals" -> ((s, dir) =>
+      TimeJoin.scd2Intervals(t(s, dir, "events").where(col("event_type") === "view"),
+        "user_id", "ts", "event_id", Seq("value"))),
+
+    // Anomaly flags over hourly event-rate series: trailing-6-bucket
+    // z-score from EXACT integer window sums (Σn, Σn²), |z| > 2 flagged.
+    "q86_rate_anomalies" -> ((s, dir) =>
+      graft.ops.Anomaly.countZscores(t(s, dir, "events"), "event_type", "ts")),
 
     // As-of (point-in-time) join: each purchase matched to the user's
     // latest STRICTLY-earlier click — the union-tag + running-last window
@@ -1013,6 +1051,16 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY ROLLUP(r_name, n_name)""",
 
+    // CUBE replay; GROUPING() bit order (first arg = MSB) matches Spark's
+    // grouping_id() convention.
+    "q82_cube_segments" ->
+      """SELECT r_name, c_mktsegment, count(*) AS n_customers,
+         CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+         CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS gid
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY CUBE(r_name, c_mktsegment)""",
+
     "q07_priority_setops" ->
       """SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
          INTERSECT
@@ -1660,6 +1708,71 @@ object SparkEntry {
 
     // As-of replay: DuckDB's NATIVE ASOF LEFT JOIN — an independent engine
     // implementation of point-in-time semantics, strict via `>`.
+    // Funnel replay: per-step conditional mins chained on the previous
+    // step's time, strictly-after semantics.
+    "q83_funnel" ->
+      """WITH ks AS (SELECT DISTINCT user_id FROM events),
+         v AS (SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v ON e.user_id = v.user_id
+               WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c ON e.user_id = c.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+         SELECT ks.user_id, t_view, t_click, t_purchase,
+           CAST(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END +
+                CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END +
+                CASE WHEN t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+         FROM ks LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
+
+    // SCD2 replay: one lead window per key, deterministic tie-break.
+    "q84_scd2_intervals" ->
+      """SELECT user_id, event_id, ts AS valid_from, value,
+                lead(ts) OVER w AS valid_to,
+                lead(ts) OVER w IS NULL AS is_current
+         FROM events WHERE event_type = 'view'
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""",
+
+    // Phrase-search replay: the CLASSIC positional posting-list join —
+    // independent of the engine's n-gram-posting formulation.
+    "q85_phrase_search" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         hits AS (
+           SELECT 'p0' AS phrase_id, a.doc_id
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           WHERE a.tok = 'table' AND b.tok = 'hash'
+           UNION ALL
+           SELECT 'p1', a.doc_id
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+           WHERE a.tok = 'customer' AND b.tok = 'join'
+           UNION ALL
+           SELECT 'p2', a.doc_id
+           FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                       JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+           WHERE a.tok = 'slow' AND b.tok = 'hash' AND c.tok = 'batch')
+         SELECT phrase_id, doc_id, count(*) AS n_occurrences FROM hits GROUP BY 1, 2""",
+
+    // Anomaly replay: identical exact-integer window sums, identical
+    // double tree for mean/variance/z.
+    "q86_rate_anomalies" ->
+      """WITH counts AS (SELECT date_trunc('hour', ts) AS hour, event_type AS grp, count(*) AS n
+                         FROM events GROUP BY 1, 2),
+         w AS (SELECT hour, grp, n,
+                 CAST(count(n) OVER win AS BIGINT) AS m,
+                 CAST(sum(n) OVER win AS BIGINT) AS s,
+                 CAST(sum(n * n) OVER win AS BIGINT) AS ss
+               FROM counts
+               WINDOW win AS (PARTITION BY grp ORDER BY hour ASC ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)),
+         v AS (SELECT hour, grp, n, m,
+                 CAST(s AS DOUBLE) / m AS mean,
+                 CASE WHEN m > 1 THEN (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / m) / (m - 1) END AS variance
+               FROM w),
+         z AS (SELECT hour, grp, n, m,
+                 CASE WHEN variance > 0 THEN round((n - mean) / sqrt(variance), 6) END AS z
+               FROM v)
+         SELECT hour, grp AS event_type, n, m AS n_window, z,
+                coalesce(abs(z) > 2.0, false) AS is_anomaly
+         FROM z""",
+
     "q60_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
          c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')

@@ -630,6 +630,35 @@ object TextOps {
       .where(col("rnk") <= k)
   }
 
+  /** Positional phrase search over the corpus — exact "words in a row"
+    * retrieval (the inverted-index-with-positions query class). Instead of
+    * the classic per-term posting-list self-join (one join per phrase
+    * word, skewed on common terms), each phrase of n words is matched as
+    * ONE n-gram posting: the doc's n-gram stream equi-joined against the
+    * broadcast phrase table — one narrow scan per distinct phrase LENGTH,
+    * zero self-joins, overlapping occurrences counted naturally
+    * ("table table table" contains "table table" twice). The DuckDB
+    * oracle replays the CLASSIC positional-join formulation, so the two
+    * independent algorithms must agree row-for-row.
+    * Output: (phrase_id, doc_id, n_occurrences), rows only where > 0.
+    */
+  def phraseSearch(docs: DataFrame, phrases: Seq[(String, String)],
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .localCheckpoint() // one tokenize, shared by every phrase-length pass
+    val byLen = phrases.groupBy(_._2.trim.split("\\s+").length).toSeq.sortBy(_._1)
+    byLen.map { case (n, ps) =>
+      val pdf = ps.map { case (pid, txt) =>
+        (pid, txt.trim.split("\\s+").mkString(" ")) }.toDF("phrase_id", "phrase")
+      toks.select(col("doc_id"), explode(NearDup.shingleArr(col("toks"), n)).as("phrase"))
+        .join(broadcast(pdf), Seq("phrase"))
+        .groupBy(col("phrase_id"), col("doc_id"))
+        .agg(count(lit(1)).as("n_occurrences"))
+    }.reduce(_ unionAll _)
+  }
+
   /** PII detection + scrubbing (CCNet/Dolma-style pre-training hygiene):
     * count and replace emails, IPv4 addresses, and US-style phone numbers
     * with typed placeholder tags. Patterns are lookaround-free so Java

@@ -98,4 +98,59 @@ object TimeJoin {
         leftCols.filterNot(_ == keyCol).map(col)) ++
         (col("_rts").as("r_ts") +: rightVals.map(v => col(s"_rv.$v").as(s"r_$v"))): _*)
   }
+
+  /** Ordered-funnel analysis (the product-analytics conversion query):
+    * per key, the FIRST time each step fired STRICTLY AFTER the previous
+    * step's time — step i counts only if it happens after step i-1, so a
+    * purchase before the first view does not convert. Output: one row per
+    * key with t_<step> timestamps (null once the chain breaks) and `stage`
+    * = number of completed steps.
+    *
+    * 100 TB shape: one conditional min-aggregate per step, each keyed on
+    * the same `keyCol` — the shuffles share one partitioning, so AQE/
+    * exchange-reuse keeps it one physical repartition; no window sort, no
+    * per-key event collection (the classic collect_list-then-scan funnel
+    * implementation buffers whole users; this never does).
+    */
+  def funnel(events: DataFrame, keyCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty)
+    val keys = events.select(col(keyCol).as("k")).distinct()
+    val first = steps.head
+    var acc = keys.join(
+      events.where(col(typeCol) === first)
+        .groupBy(col(keyCol).as("k")).agg(min(col(tsCol)).as(s"t_$first")),
+      Seq("k"), "left")
+    for ((prev, step) <- steps.zip(steps.tail)) {
+      val nxt = events.where(col(typeCol) === step)
+        .select(col(keyCol).as("k"), col(tsCol).as("_ts"))
+        .join(acc.select(col("k"), col(s"t_$prev")), Seq("k"))
+        .where(col(s"t_$prev").isNotNull && col("_ts") > col(s"t_$prev"))
+        .groupBy(col("k")).agg(min(col("_ts")).as(s"t_$step"))
+      acc = acc.join(nxt, Seq("k"), "left")
+    }
+    val stage = steps.map(s => when(col(s"t_$s").isNotNull, 1L).otherwise(0L))
+      .reduce(_ + _)
+    acc.select((col("k").as(keyCol) +: steps.map(s => col(s"t_$s"))) :+
+      stage.as("stage"): _*)
+  }
+
+  /** SCD2 / CDC validity intervals from an append-only event log: per key,
+    * each event becomes a row valid from its timestamp until the NEXT
+    * event's timestamp (null = still current). The standard
+    * slowly-changing-dimension-type-2 snapshot builder.
+    *
+    * 100 TB shape: one window (lead) per key ordered by (ts, tieCol) — a
+    * single hash-partitioned sort, which is the lower bound for interval
+    * construction; deterministic under timestamp ties via `tieCol`.
+    */
+  def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valueCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("valid_from").asc, col(tieCol).asc)
+    events.select((Seq(col(keyCol), col(tieCol), col(tsCol).as("valid_from")) ++
+        valueCols.map(col)): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -1128,6 +1128,60 @@ class OpsSpec extends SparkSpec {
     assert(rankOf(3L) < rankOf(2L), s"length normalization violated: $out")
   }
 
+  test("phraseSearch: overlapping occurrences, mixed phrase lengths, absent phrase absent") {
+    val d = docs(
+      1L -> "table table table key",          // "table table" occurs at pos 1 AND 2
+      2L -> "a table hash b table hash",
+      3L -> "slow hash batch only once here")
+    val out = TextOps.phraseSearch(d, Seq(
+      ("bi", "table table"), ("bi2", "table hash"),
+      ("tri", "slow hash batch"), ("none", "never occurs")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("bi", 1L) -> 2L,      // overlap counted twice
+      ("bi2", 2L) -> 2L,
+      ("tri", 3L) -> 1L))    // no rows for "none", no zero rows
+  }
+
+  test("countZscores: exact-integer window stats, null z for cold/flat windows, flag fires") {
+    import spark.implicits._
+    // one group, hourly buckets: 6 flat hours then a spike
+    val rows = ((0 until 6).flatMap(h => Seq.fill(10)(h.toLong)) ++ Seq.fill(40)(6L))
+      .map(h => ("e", h * 3600L))
+      .toDF("event_type", "_s")
+      .select(col("event_type"), timestamp_seconds(col("_s")).as("ts"))
+    val out = Anomaly.countZscores(rows, "event_type", "ts", lookback = 6, flagAt = 2.0)
+      .collect().map(r => (r.getTimestamp(0).getTime / 3600000, r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5))).sortBy(_._1).toSeq
+    // hour 0: empty window → z null, not anomalous
+    assert(out(0) == ((0L, 10L, 0L, None, false)))
+    // hour 1: single-point window → z null
+    assert(out(1) == ((1L, 10L, 1L, None, false)))
+    // hours 2-5: flat history → zero variance → z null
+    (2 to 5).foreach(i => assert(out(i)._4.isEmpty && !out(i)._5))
+    // hour 6 (the spike): baseline is perfectly flat → variance 0 → z is
+    // null BY DESIGN (no scale to measure deviation against); the varied-
+    // baseline test below covers the firing path
+    assert(out(6)._2 == 40L && out(6)._3 == 6L && out(6)._4.isEmpty)
+  }
+
+  test("countZscores: spike against a varied baseline is flagged with the hand-computed z") {
+    import spark.implicits._
+    val perHour = Seq(8L, 12L, 9L, 11L, 10L, 10L, 40L) // varied baseline, then spike
+    val rows = perHour.zipWithIndex.flatMap { case (n, h) => Seq.fill(n.toInt)(("e", h * 3600L)) }
+      .toDF("event_type", "_s")
+      .select(col("event_type"), timestamp_seconds(col("_s")).as("ts"))
+    val out = Anomaly.countZscores(rows, "event_type", "ts", lookback = 6, flagAt = 2.0)
+      .collect().map(r => (r.getTimestamp(0).getTime / 3600000,
+        Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5))).sortBy(_._1)
+    val base = perHour.take(6).map(_.toDouble)
+    val mean = base.sum / 6
+    val variance = base.map(x => (x - mean) * (x - mean)).sum / 5
+    val expZ = BigDecimal((40.0 - mean) / math.sqrt(variance))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.last._2.contains(expZ) && out.last._3, s"got ${out.last}, want z=$expZ")
+  }
+
   test("stratumTopK: exact k per stratum, small strata kept whole, deterministic across runs") {
     import spark.implicits._
     val d = ((1L to 20L).map(i => (i, "big")) ++ Seq((100L, "small"), (101L, "small")))

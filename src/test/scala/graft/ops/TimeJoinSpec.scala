@@ -64,4 +64,50 @@ class TimeJoinSpec extends SparkSpec {
     // exploded into two candidate buckets
     assert(got.distinct.length == got.length)
   }
+
+  test("funnel: strictly-after chaining — out-of-order steps do not convert") {
+    import spark.implicits._
+    val e = Seq(
+      // u1 completes the whole funnel in order
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // u2: purchase BEFORE its first click → stage 2 (the purchase at 15
+      // precedes the click at 25; no purchase after 25)
+      (2L, "view", 5L), (2L, "purchase", 15L), (2L, "click", 25L),
+      // u3: click only, no view → stage 0 (chain never starts... view missing)
+      (3L, "click", 10L),
+      // u4: equal timestamps — strict > means click at the SAME ts as view
+      // does not count
+      (4L, "view", 50L), (4L, "click", 50L))
+      .toDF("user_id", "event_type", "_s")
+      .select(col("user_id"), col("event_type"), timestamp_seconds(col("_s")).as("ts"))
+    val out = TimeJoin.funnel(e, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase")).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getTimestamp(1)).map(_.getTime / 1000),
+        Option(r.getTimestamp(2)).map(_.getTime / 1000),
+        Option(r.getTimestamp(3)).map(_.getTime / 1000), r.getLong(4)))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L), 3L)))
+    assert(out(2L) == ((Some(5L), Some(25L), None, 2L)))
+    assert(out(3L) == ((None, None, None, 0L)))
+    assert(out(4L) == ((Some(50L), None, None, 1L)))
+    assert(out.size == 4) // every key gets a row, converted or not
+  }
+
+  test("scd2Intervals: intervals chain per key, ties broken by tieCol, last row current") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, 100L, 10L, 1.0), (1L, 101L, 20L, 2.0), (1L, 102L, 20L, 3.0), // tie at ts=20
+      (2L, 200L, 5L, 9.0))
+      .toDF("user_id", "event_id", "_s", "value")
+      .select(col("user_id"), col("event_id"), timestamp_seconds(col("_s")).as("ts"), col("value"))
+    val out = TimeJoin.scd2Intervals(e, "user_id", "ts", "event_id", Seq("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime / 1000,
+        Option(r.getTimestamp(4)).map(_.getTime / 1000), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 10L, Some(20L), false),
+      (1L, 101L, 20L, Some(20L), false),   // tie: 101 precedes 102 by event_id
+      (1L, 102L, 20L, None, true),
+      (2L, 200L, 5L, None, true)))
+  }
 }
