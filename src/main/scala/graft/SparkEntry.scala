@@ -316,6 +316,35 @@ object SparkEntry {
       TextOps.piiScrub(aug)
     }),
 
+    // Bounded top-k per key via a typed Aggregator (k-bounded sorted
+    // buffer, map-side partial merge — state never exceeds k, unlike the
+    // window sort or collect_list truncation). Oracle = the window
+    // formulation; equality proves the custom aggregate exact.
+    "q87_topk_aggregator" -> ((s, dir) => {
+      val topk = udaf(graft.expr.TopKAggregator.TopK(3))
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(topk(col("value"), col("event_id")).as("tk"))
+        .select(col("user_id"), posexplode(col("tk.items")))
+        .select(col("user_id"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.v").as("value"), col("col.id").as("event_id"))
+    }),
+
+    // Weighted per-stratum sampling (Efraimidis-Spirakis A-Res): inclusion
+    // probability proportional to n_chars, fixed budget k=5 per source.
+    "q88_weighted_sample" -> ((s, dir) =>
+      TextOps.weightedStratumSample(t(s, dir, "documents"), k = 5, weightCol = "n_chars")),
+
+    // Bloom-prefiltered semi-join (the explicit runtime-filter pattern):
+    // events of purchasing users. The oracle is the PLAIN semi-join —
+    // equality proves the bloom prefilter + exact-clear composition lossless.
+    "q89_bloom_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val buyers = e.where(col("event_type") === "purchase").select(col("user_id"))
+      Sketch.bloomSemiJoin(e, "user_id", buyers, "user_id")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    }),
+
     // Ordered funnel (view → click → purchase): first time each step fired
     // STRICTLY AFTER the previous step, per user; stage = completed steps.
     "q83_funnel" -> ((s, dir) =>
@@ -1706,8 +1735,35 @@ object SparkEntry {
          WHERE u < CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25 ELSE 0.1 END"""
     },
 
+    // Weighted-sample replay: same md5 uniform, same ln(u)/w log-key
+    // (rounded BEFORE ranking so a last-ulp ln difference cannot reorder),
+    // same rank windows.
+    "q88_weighted_sample" -> {
+      val hex = (1 to 8).map(j =>
+        s"(strpos('0123456789abcdef', substr(h, $j, 1))-1)*${1L << (4 * (8 - j))}").mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, source, n_chars, md5('graft:ws:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         u AS (SELECT doc_id, source, n_chars, ($hex) / 4294967296.0 AS u FROM h),
+         kk AS (SELECT doc_id, source AS stratum, CAST(n_chars AS BIGINT) AS weight,
+                  round(ln(u) / n_chars, 6) AS skey FROM u),
+         rk AS (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY stratum ORDER BY skey DESC, doc_id ASC) AS BIGINT) AS rnk FROM kk)
+         SELECT doc_id, stratum, weight, skey, rnk FROM rk WHERE rnk <= 5"""
+    },
+
     // As-of replay: DuckDB's NATIVE ASOF LEFT JOIN — an independent engine
     // implementation of point-in-time semantics, strict via `>`.
+    // Top-k-aggregator oracle: the classic window formulation.
+    "q87_topk_aggregator" ->
+      """WITH rk AS (SELECT user_id, event_id, value, CAST(row_number() OVER (
+           PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS BIGINT) AS rnk FROM events)
+         SELECT user_id, rnk, value, event_id FROM rk WHERE rnk <= 3""",
+
+    // Bloom-join oracle: the plain semi-join + aggregate.
+    "q89_bloom_join" ->
+      """SELECT user_id, count(*) AS n_events FROM events
+         WHERE user_id IN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         GROUP BY 1""",
+
     // Funnel replay: per-step conditional mins chained on the previous
     // step's time, strictly-after semantics.
     "q83_funnel" ->

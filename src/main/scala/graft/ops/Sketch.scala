@@ -228,4 +228,29 @@ object Sketch {
           .reduce(_ && _).as("bloom_hit"),
         array_contains(col("bset"), col("item")).as("in_set"))
   }
+
+  /** Bloom-PREFILTERED semi-join — the runtime-filter pattern (what
+    * Spark's own runtime row-group filters / DPP do, made explicit): cut
+    * the probe side with a broadcast m-bit Bloom of the build keys — a
+    * NARROW map that removes the bulk of non-matching rows BEFORE any
+    * shuffle — then an exact semi-join clears the Bloom's false
+    * positives. The result is EXACTLY the plain semi-join's (the driver
+    * oracle runs that), but at scale the shuffle moves only
+    * matches + fpRate·non-matches instead of the whole probe table.
+    */
+  def bloomSemiJoin(probe: DataFrame, probeCol: String,
+                    build: DataFrame, buildCol: String,
+                    m: Int = 512, k: Int = 3): DataFrame = {
+    def pos(v: Column, i: Int): Column =
+      conv(substring(md5(concat(v.cast("string"), lit(":"), lit(i))), 1, 3), 16, 10)
+        .cast("int") % m
+    val bits = build.select(col(buildCol).as("b"))
+      .select(explode(array((0 until k).map(i => pos(col("b"), i)): _*)).as("pos"))
+      .agg(array_sort(collect_set(col("pos"))).as("bits"))
+    probe.crossJoin(broadcast(bits))
+      .where((0 until k).map(i => array_contains(col("bits"), pos(col(probeCol), i)))
+        .reduce(_ && _))
+      .drop("bits")
+      .join(build.select(col(buildCol).as(probeCol)).distinct(), Seq(probeCol), "left_semi")
+  }
 }

@@ -630,6 +630,35 @@ object TextOps {
       .where(col("rnk") <= k)
   }
 
+  /** WEIGHTED per-stratum sampling without replacement (Efraimidis &
+    * Spirakis A-Res, deterministic): keep the k items with the largest
+    * u^(1/w) keys per stratum — inclusion probability proportional to
+    * weight, the scheme data-mixing pipelines use to over-sample long/
+    * high-quality documents at a fixed per-source budget. Ranked on the
+    * LOG key ln(u)/w — the same ordering (ln is monotone), but ln is the
+    * one transcendental this repo has repeatedly verified bit-stable
+    * across engines, where pow(x, 1/w) is not guaranteed correctly
+    * rounded. The key is rounded to 6 dp BEFORE ranking (doc_id breaks
+    * ties), so a last-ulp ln difference cannot reorder.
+    *
+    * 100 TB shape: the draw/key is one narrow codegen'd expression; the
+    * only heavy op is the per-stratum rank window (same shape as
+    * stratumTopK — pre-thin with stratifiedSample for mega-strata).
+    */
+  def weightedStratumSample(docs: DataFrame, k: Int, weightCol: String,
+                            seed: String = "graft",
+                            stratumCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(concat(lit(seed), lit(":ws:"), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+    val w = Window.partitionBy(col("stratum")).orderBy(col("skey").desc, col("doc_id").asc)
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"),
+        col(weightCol).cast("long").as("weight"),
+        round(log(u) / col(weightCol), 6).as("skey"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+
   /** Positional phrase search over the corpus — exact "words in a row"
     * retrieval (the inverted-index-with-positions query class). Instead of
     * the classic per-term posting-list self-join (one join per phrase

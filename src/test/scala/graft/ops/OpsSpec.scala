@@ -1196,6 +1196,32 @@ class OpsSpec extends SparkSpec {
     assert(out.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("weightedStratumSample: weight-proportional inclusion, exact k, deterministic") {
+    import spark.implicits._
+    // one stratum: 50 heavy docs (w=1000) vs 50 light (w=10); heavy docs
+    // should dominate the k=10 sample under A-Res
+    val d = ((1L to 50L).map(i => (i, "s", 1000L)) ++ (51L to 100L).map(i => (i, "s", 10L)))
+      .toDF("doc_id", "source", "n_chars")
+    val out = TextOps.weightedStratumSample(d, k = 10, weightCol = "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(out.length == 10)
+    assert(out.count(_._2 == 1000L) >= 8, s"heavy docs must dominate: $out")
+    val again = TextOps.weightedStratumSample(d, k = 10, weightCol = "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("bloomSemiJoin: exactly the plain semi-join even when the tiny bloom forces false positives") {
+    import spark.implicits._
+    val probe = (1L to 400L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val build = (1L to 400L by 40).map(i => Tuple1(i)).toDF("k") // 10 keys
+    // m=16 bits, 10 keys * 3 positions -> most bits set -> many bloom FPs;
+    // the exact-clear stage must remove every one of them
+    val got = Sketch.bloomSemiJoin(probe, "k", build, "k", m = 16, k = 3)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 400L by 40).toSeq)
+  }
+
   test("saltedStats: identical to the plain groupBy for every statistic") {
     import spark.implicits._
     val rows = (1L to 500L).map(i =>
