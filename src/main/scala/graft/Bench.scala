@@ -222,7 +222,8 @@ object Bench {
       "q79_hll_merged", "q80_stratum_topk", "q81_salted_agg",
       "q82_cube_segments", "q83_funnel", "q84_scd2_intervals",
       "q85_phrase_search", "q86_rate_anomalies", "q87_topk_aggregator",
-      "q88_weighted_sample", "q89_bloom_join")
+      "q88_weighted_sample", "q89_bloom_join", "q90_zorder_key",
+      "q91_robots_filter", "q92_cms_merged", "q93_retention_cohorts")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

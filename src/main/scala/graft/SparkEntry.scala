@@ -335,6 +335,46 @@ object SparkEntry {
     "q88_weighted_sample" -> ((s, dir) =>
       TextOps.weightedStratumSample(t(s, dir, "documents"), k = 5, weightCol = "n_chars")),
 
+    // Z-order (Morton) layout key over the two most-filtered event
+    // dimensions — the write-side clustering key that makes row-group
+    // min/max stats selective on BOTH dims (Delta/Iceberg Z-ORDER). Pure
+    // integer bit arithmetic, oracle-replayed term by term.
+    "q90_zorder_key" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val ub = pmod(col("user_id"), lit(65536L))
+      val hb = pmod(floor(unix_micros(col("ts").cast("timestamp")) / lit(3600000000L)).cast("long"), lit(65536L))
+      e.select(col("event_id"), ub.as("ub"), hb.as("hb"))
+        .withColumn("zkey", graft.ops.Layout.mortonKey(col("ub"), col("hb")))
+    }),
+
+    // Robots-style disallow filter over the synthetic URL lattice: path-
+    // prefix rules per registered domain, broadcast; one row per URL with
+    // the blocked verdict.
+    "q91_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        UrlOps.syntheticUrl(col("doc_id"), col("source")).as("url"))
+      val rules = Seq(
+        ("example.com", "/Articles"), ("example.co.uk", "/a/b"),
+        ("example.org", "/x"), ("example.com", "/never")).toDF("domain", "prefix")
+      UrlOps.robotsFilter(urls, rules)
+    }),
+
+    // Count-Min sketch MERGEABILITY, driver-checked (q79's frequency
+    // sibling): per-source counters merged by cellwise sum → the same
+    // estimates as the single-pass global sketch the oracle builds.
+    "q92_cms_merged" -> ((s, dir) => {
+      val spans = t(s, dir, "documents")
+        .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(NearDup.shingleArr(col("toks"), 2)).as("s"))
+      Sketch.cmsMergedHeavyHitters(spans, "source", "s")
+    }),
+
+    // Weekly cohort retention matrix: users grouped by first-activity
+    // week, distinct-active counts at each week offset.
+    "q93_retention_cohorts" -> ((s, dir) =>
+      graft.ops.Cohorts.weeklyRetention(t(s, dir, "events"), "user_id", "ts")),
+
     // Bloom-prefiltered semi-join (the explicit runtime-filter pattern):
     // events of purchasing users. The oracle is the PLAIN semi-join —
     // equality proves the bloom prefilter + exact-clear composition lossless.
@@ -1531,6 +1571,89 @@ object SparkEntry {
                 FROM top t CROSS JOIN rs)
          SELECT pr.item, pr.exact, min(c.c) AS cms_estimate
          FROM pr JOIN counters c ON pr.r = c.r AND pr.bucket = c.bucket
+         GROUP BY 1, 2""",
+
+    // Z-order replay: the interleave unrolled term by term (exact BIGINT
+    // bit arithmetic in both engines).
+    "q90_zorder_key" -> {
+      val terms = (0 until 16).map(j =>
+        s"(((ub >> $j) & 1) << ${2 * j}) + (((hb >> $j) & 1) << ${2 * j + 1})").mkString(" + ")
+      s"""WITH b AS (SELECT event_id,
+             user_id % 65536 AS ub,
+             CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) % 65536 AS hb
+           FROM events)
+         SELECT event_id, ub, hb, ($terms) AS zkey FROM b"""
+    },
+
+    // Robots replay: q68's host/path/domain regex snippets + the same rules
+    // as a VALUES join, max-of-hits per URL.
+    "q91_robots_filter" -> {
+      val (auth, pth, hst) = (UrlOps.authorityRe, UrlOps.pathRe, UrlOps.hostRe)
+      val suffixes = UrlOps.twoLevelSuffixes.map(s => s"'$s'").mkString(", ")
+      s"""WITH u AS (SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'HTTP://WWW.Example.COM:80/Articles/' || CAST(doc_id AS VARCHAR) || '/?utm=x&a=1#top'
+             WHEN 1 THEN 'https://cdn.' || source || '.example.co.uk:443/a/b/c?z=9&b=2&a=1'
+             WHEN 2 THEN 'http://' || source || '.example.com/path/' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN 'HTTPS://Blog.' || source || '.Example.ORG:8443/x/'
+             WHEN 4 THEN 'http://' || source || '.example.com:8080/?q=' || CAST(doc_id AS VARCHAR) || '#frag'
+             ELSE 'https://' || source || '.example.com' END AS url
+           FROM documents),
+         p AS (SELECT doc_id, url,
+                 regexp_extract(lower(regexp_extract(url, '$auth', 1)), '$hst', 1) AS host,
+                 CASE WHEN regexp_replace(regexp_extract(url, '$pth', 1), '/+$$', '') = '' THEN '/'
+                      ELSE regexp_replace(regexp_extract(url, '$pth', 1), '/+$$', '') END AS path
+               FROM u),
+         d AS (SELECT doc_id, url, path,
+                 CASE WHEN len(string_split(host, '.')) < 2 THEN host
+                      WHEN len(string_split(host, '.')) >= 3 AND
+                           (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]) IN ($suffixes)
+                      THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                      ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain
+               FROM p),
+         rules(domain, prefix) AS (VALUES
+           ('example.com', '/Articles'), ('example.co.uk', '/a/b'),
+           ('example.org', '/x'), ('example.com', '/never')),
+         j AS (SELECT d.doc_id, d.url, d.domain, d.path,
+                 CASE WHEN r.prefix IS NOT NULL AND starts_with(d.path, r.prefix) THEN 1 ELSE 0 END AS hit
+               FROM d LEFT JOIN rules r ON d.domain = r.domain)
+         SELECT doc_id, url, domain, path, max(hit) = 1 AS blocked
+         FROM j GROUP BY 1, 2, 3, 4"""
+    },
+
+    // Merged-CMS oracle: the SINGLE-PASS global counter table (no shard
+    // level) — equality with the engine's shard-then-cellwise-sum path is
+    // the mergeability proof; plus the shard count.
+    "q92_cms_merged" ->
+      """WITH tk AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         sp AS (SELECT source, l[i] || ' ' || l[i+1] AS item
+                FROM tk, LATERAL (SELECT unnest(generate_series(1, len(l)-1)) AS i)
+                WHERE len(l) >= 2),
+         rs AS (SELECT unnest([0,1,2,3]) AS r),
+         bk AS (SELECT item, r,
+                 ((strpos('0123456789abcdef', substr(md5(item || ':' || CAST(r AS VARCHAR)),1,1))-1)*16 +
+                  (strpos('0123456789abcdef', substr(md5(item || ':' || CAST(r AS VARCHAR)),2,1))-1)) % 64 AS bucket
+                FROM sp CROSS JOIN rs),
+         counters AS (SELECT r, bucket, CAST(count(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2),
+         ns AS (SELECT count(DISTINCT source) AS n_shards FROM sp),
+         ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact FROM sp GROUP BY 1),
+         top AS (SELECT item, exact FROM ex ORDER BY exact DESC, item ASC LIMIT 20),
+         pr AS (SELECT t.item, t.exact, rs.r,
+                 ((strpos('0123456789abcdef', substr(md5(t.item || ':' || CAST(rs.r AS VARCHAR)),1,1))-1)*16 +
+                  (strpos('0123456789abcdef', substr(md5(t.item || ':' || CAST(rs.r AS VARCHAR)),2,1))-1)) % 64 AS bucket
+                FROM top t CROSS JOIN rs)
+         SELECT pr.item, pr.exact, min(c.c) AS cms_estimate, max(ns.n_shards) AS n_shards
+         FROM pr JOIN counters c ON pr.r = c.r AND pr.bucket = c.bucket CROSS JOIN ns
+         GROUP BY 1, 2""",
+
+    // Retention replay: integer week arithmetic end to end.
+    "q93_retention_cohorts" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u, date_trunc('week', ts) AS week FROM events),
+         c AS (SELECT u, min(week) AS cohort_week FROM a GROUP BY 1)
+         SELECT cohort_week,
+                CAST(date_diff('day', cohort_week, week) / 7 AS BIGINT) AS week_offset,
+                count(DISTINCT a.u) AS n_users
+         FROM a JOIN c ON a.u = c.u
          GROUP BY 1, 2""",
 
     // URL-canonicalization replay: same lattice CASE, same capture-group

@@ -147,6 +147,41 @@ object Sketch {
       .agg(min(col("c")).as("cms_estimate"))
   }
 
+  /** Two-level Count-Min MERGE — [[hllMergedDistinct]]'s frequency
+    * sibling: each shard builds its own d·w counter table over its slice;
+    * the global sketch is the CELLWISE SUM of shard counters (sum is
+    * associative/commutative, counters are exact longs), so merged
+    * counters are identical to a single-pass global build — which is what
+    * the driver oracle computes directly, making the hash equality the
+    * merge proof. Probe estimates then ride the merged table exactly as
+    * in [[cmsHeavyHitters]].
+    * Output: (item, exact, cms_estimate, n_shards) for the topK items.
+    */
+  def cmsMergedHeavyHitters(rows: DataFrame, shardCol: String, valueCol: String,
+                            width: Int = 64, depth: Int = 4, topK: Int = 20): DataFrame = {
+    def bucket(v: Column, r: Column): Column =
+      conv(substring(md5(concat(v, lit(":"), r.cast("string"))), 1, 2), 16, 10)
+        .cast("int") % width
+    val v = rows.select(col(shardCol).as("shard"), col(valueCol).as("item"))
+    val shardCounters = v
+      .select(col("shard"), col("item"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("shard"), col("r"), bucket(col("item"), col("r")).as("bucket"))
+      .groupBy("shard", "r", "bucket").agg(count(lit(1)).as("c"))
+    val merged = shardCounters.groupBy("r", "bucket").agg(sum(col("c")).as("c"))
+    val nShards = shardCounters.agg(countDistinct(col("shard")).as("n_shards"))
+    val top = v.groupBy("item").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("item").asc).limit(topK)
+    top
+      .select(col("item"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("item"), col("exact"), col("r"),
+        bucket(col("item"), col("r")).as("bucket"))
+      .join(broadcast(merged), Seq("r", "bucket"))
+      .groupBy("item", "exact")
+      .agg(min(col("c")).as("cms_estimate"))
+      .crossJoin(broadcast(nShards))
+  }
+
   /** Deterministic equi-width histogram quantiles — the percentile sibling
     * of [[hllDistinct]]/[[cmsHeavyHitters]]: per-group p50/p90/p99 from a
     * bounded, mergeable counter table. Spark's own `approx_percentile`

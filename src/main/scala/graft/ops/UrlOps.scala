@@ -54,7 +54,7 @@ object UrlOps {
   }
 
   /** Path with trailing slashes stripped; empty → "/". Case preserved. */
-  private def canonPath(url: Column): Column = {
+  def canonPath(url: Column): Column = {
     val stripped = regexp_replace(regexp_extract(url, pathRe, 1), "/+$", "")
     when(stripped === "", lit("/")).otherwise(stripped)
   }
@@ -129,6 +129,31 @@ object UrlOps {
     * whose key space is the squared domain vocabulary, ≪ corpus. Output:
     * (src_domain, dst_domain, n_links, n_docs).
     */
+  /** Robots-style disallow filtering — the crawl-politeness gate: a URL is
+    * blocked when its canonical path starts with ANY disallowed prefix
+    * registered for its domain. `rules` is a (domain, prefix) table — the
+    * parsed robots.txt corpus, inherently tiny relative to the crawl, so
+    * it broadcasts; a URL with several matching rules still yields ONE
+    * output row (max-of-hits aggregation keyed by `idCol`).
+    *
+    * 100 TB shape: parse/canonicalize is a narrow codegen'd projection;
+    * the rules join is broadcast (row multiplication bounded by
+    * rules-per-domain); the only shuffle is the per-URL hit aggregation.
+    * Output: (idCol, urlCol, domain, path, blocked).
+    */
+  def robotsFilter(urls: DataFrame, rules: DataFrame,
+                   idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
+    val p = urls.select(col(idCol), col(urlCol),
+      registeredDomain(host(col(urlCol))).as("domain"),
+      canonPath(col(urlCol)).as("path"))
+    p.join(broadcast(rules.select(col("domain"), col("prefix"))), Seq("domain"), "left")
+      .withColumn("_hit",
+        when(col("prefix").isNotNull && col("path").startsWith(col("prefix")), 1L)
+          .otherwise(0L))
+      .groupBy(col(idCol), col(urlCol), col("domain"), col("path"))
+      .agg((max(col("_hit")) === 1L).as("blocked"))
+  }
+
   def domainLinkGraph(docs: DataFrame, docDomain: Column,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs

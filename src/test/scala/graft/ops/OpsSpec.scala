@@ -1128,6 +1128,71 @@ class OpsSpec extends SparkSpec {
     assert(rankOf(3L) < rankOf(2L), s"length normalization violated: $out")
   }
 
+  test("mortonKey: hand-checked interleave, bijective on the bucket grid") {
+    import spark.implicits._
+    // a=5 (101b) -> bits at even positions 0,4 = 17; b=3 (011b) -> odd
+    // positions 1,3 = 10; zkey = 27
+    val one = Seq((5L, 3L)).toDF("a", "b")
+      .select(Layout.mortonKey(col("a"), col("b")).as("z")).head().getLong(0)
+    assert(one == 27L)
+    val grid = (for (a <- 0L until 32L; b <- 0L until 32L) yield (a, b)).toDF("a", "b")
+    val keys = grid.select(Layout.mortonKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(keys.distinct.length == 32 * 32)          // bijective
+    assert(keys.min == 0L && keys.max == 1023L)      // dense on 2*5 bits
+  }
+
+  test("robotsFilter: prefix rules per domain, multiple rules collapse to one verdict row") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://a.example.com/Articles/9"),     // blocked (/Articles)
+      (2L, "https://a.example.com/other"),           // allowed
+      (3L, "https://b.example.com/never/x"),         // blocked (2nd rule, same domain)
+      (4L, "https://c.unruled.org/Articles/9"),      // no rules for domain -> allowed
+      (5L, "https://a.example.com/Articles"))        // prefix == path
+      .toDF("doc_id", "url")
+    val rules = Seq(("example.com", "/Articles"), ("example.com", "/never"))
+      .toDF("domain", "prefix")
+    val out = UrlOps.robotsFilter(urls, rules).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> false, 5L -> true))
+    assert(out.size == 5) // one row per URL despite two candidate rules
+  }
+
+  test("cmsMergedHeavyHitters: merged estimates identical to the single-pass sketch") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 2000).map(i => (s"s${i % 5}", s"item${rng.nextInt(40)}"))
+      .toDF("shard", "item")
+    val merged = Sketch.cmsMergedHeavyHitters(rows, "shard", "item", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val direct = Sketch.cmsHeavyHitters(rows, "item", topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged.map(t => (t._1, t._2, t._3)).toSet == direct)
+    assert(merged.forall(_._4 == 5L))                 // n_shards
+    assert(merged.forall(t => t._3 >= t._2))          // one-sided error holds post-merge
+  }
+
+  test("weeklyRetention: cohort assignment and offsets on a hand fixture") {
+    import spark.implicits._
+    val day = 86400L
+    // weeks start Monday 1970-01-05 (epoch day 4). u1 active wk0+wk2,
+    // u2 active wk0 only, u3 first appears wk1 and returns wk2
+    val e = Seq(
+      (1L, 4 * day), (1L, 4 * day + 100), (1L, 18 * day),
+      (2L, 5 * day),
+      (3L, 11 * day), (3L, 18 * day))
+      .toDF("user_id", "_s")
+      .select(col("user_id"), timestamp_seconds(col("_s")).as("ts"))
+    val out = Cohorts.weeklyRetention(e, "user_id", "ts").collect()
+      .map(r => (r.getTimestamp(0).getTime / 1000 / day / 7, r.getLong(1)) -> r.getLong(2)).toMap
+    // cohort week indexed by epoch-week of its Monday
+    assert(out.values.sum == 5)                // 5 (user, week) activity cells
+    assert(out((0L, 0L)) == 2L)               // u1+u2 in cohort wk0 at offset 0
+    assert(out((0L, 2L)) == 1L)               // u1 retained at +2 weeks
+    assert(out((1L, 0L)) == 1L && out((1L, 1L)) == 1L) // u3 cohort wk1
+  }
+
   test("phraseSearch: overlapping occurrences, mixed phrase lengths, absent phrase absent") {
     val d = docs(
       1L -> "table table table key",          // "table table" occurs at pos 1 AND 2
