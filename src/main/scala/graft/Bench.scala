@@ -153,9 +153,16 @@ object Bench {
       // hi level FIRST: if the budget runs out mid-pair it is the hi sample
       // that is banked, so a gated pair needs only one later lo success (the
       // round-2 artifact had gated_lo && !gated_hi from lo-first ordering)
-      sample(hi).foreach { t => bestHi = math.min(bestHi, t); acceptedHi += 1 }
-      sample(lo).foreach { t => bestLo = math.min(bestLo, t); acceptedLo += 1 }
-      if (acceptedLo > 0 && acceptedHi > 0) {
+      val hiT = sample(hi)
+      hiT.foreach { t => bestHi = math.min(bestHi, t); acceptedHi += 1 }
+      val loT = sample(lo)
+      loT.foreach { t => bestLo = math.min(bestLo, t); acceptedLo += 1 }
+      // a "pair" = an iteration whose BOTH samples were ACCEPTED — rejected
+      // iterations must not consume the pair budget (the round-5 driver run
+      // burned all 16 pairs on 29 rejections and exited at 1/2 accepted;
+      // the wall budget + count-based extensions remain the backstop, so
+      // the stop rule stays outcome-independent)
+      if (hiT.isDefined && loT.isDefined) {
         pairs += 1
         val improved = bestLo < prevLo * 0.98 || bestHi < prevHi * 0.98
         // stabilization only counts once BOTH levels have >=3 accepted
@@ -223,7 +230,9 @@ object Bench {
       "q82_cube_segments", "q83_funnel", "q84_scd2_intervals",
       "q85_phrase_search", "q86_rate_anomalies", "q87_topk_aggregator",
       "q88_weighted_sample", "q89_bloom_join", "q90_zorder_key",
-      "q91_robots_filter", "q92_cms_merged", "q93_retention_cohorts")
+      "q91_robots_filter", "q92_cms_merged", "q93_retention_cohorts",
+      "q94_hamming_join", "q95_exact_quantiles", "q96_table_diff",
+      "q97_interval_merge")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

@@ -335,6 +335,44 @@ object SparkEntry {
     "q88_weighted_sample" -> ((s, dir) =>
       TextOps.weightedStratumSample(t(s, dir, "documents"), k = 5, weightCol = "n_chars")),
 
+    // Edit-distance dedup family: hamming<=1 self-join over customer names
+    // via deletion-neighborhood blocking (mask each position; strings at
+    // distance 1 share the key masking their differing position — zero
+    // recall loss, driver-checked against the brute-force oracle).
+    "q94_hamming_join" -> ((s, dir) =>
+      NearDup.hammingJoin(t(s, dir, "customer"), "c_custkey", "c_name")),
+
+    // EXACT per-group quantiles (type-1 inverse CDF) — the exact
+    // counterpart of q69's histogram sketch; no float accumulation at all.
+    "q95_exact_quantiles" -> ((s, dir) =>
+      Sketch.exactQuantiles(t(s, dir, "events"), "value", "event_type")),
+
+    // Snapshot reconciliation: events vs a lattice-mutated copy (drops,
+    // value changes, synthetic additions) — one full-outer join on the
+    // key, digests computed pre-join, unchanged rows dropped.
+    "q96_table_diff" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val mutated = e.where(col("event_id") % 97 =!= 0)
+        .select(col("event_id"), col("event_type"),
+          when(col("event_id") % 89 === 0, col("value") + 1.0).otherwise(col("value")).as("value"))
+        .union(e.where(col("event_id") % 101 === 0)
+          .select((col("event_id") + 1000000000L).as("event_id"), col("event_type"), col("value")))
+      graft.ops.Reconcile.tableDiff(
+        e.select(col("event_id"), col("event_type"), col("value")), mutated,
+        "event_id", Seq("event_type", "value"))
+    }),
+
+    // Interval coalescing (gaps-and-islands): each view event opens a
+    // 10-minute half-open window; overlapping/touching windows merge per
+    // user. Exact integer-microsecond arithmetic.
+    "q97_interval_merge" -> ((s, dir) => {
+      val v = t(s, dir, "events").where(col("event_type") === "view")
+        .select(col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s"),
+          (unix_micros(col("ts").cast("timestamp")) + lit(600000000L)).as("e"))
+      TimeJoin.mergeIntervals(v, "user_id", "s", "e")
+    }),
+
     // Z-order (Morton) layout key over the two most-filtered event
     // dimensions — the write-side clustering key that makes row-group
     // min/max stats selective on BOTH dims (Delta/Iceberg Z-ORDER). Pure
@@ -1572,6 +1610,67 @@ object SparkEntry {
          SELECT pr.item, pr.exact, min(c.c) AS cms_estimate
          FROM pr JOIN counters c ON pr.r = c.r AND pr.bucket = c.bucket
          GROUP BY 1, 2""",
+
+    // Hamming-join oracle: BRUTE-FORCE all equal-length pairs — proves the
+    // deletion-neighborhood blocking loses nothing.
+    "q94_hamming_join" ->
+      """WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer),
+         p AS (SELECT a.id AS d1, b.id AS d2, a.name AS n1, b.name AS n2
+               FROM n a JOIN n b ON a.id < b.id AND len(a.name) = len(b.name)),
+         h AS (SELECT d1, d2,
+                 CAST(len(list_filter(range(1, len(n1) + 1),
+                   i -> substr(n1, i, 1) <> substr(n2, i, 1))) AS BIGINT) AS hamming
+               FROM p)
+         SELECT d1, d2, hamming FROM h WHERE hamming <= 1""",
+
+    // Exact-quantile replay: same rank windows, same ceil(q·n) pick.
+    "q95_exact_quantiles" ->
+      """WITH v AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v FROM events),
+         r AS (SELECT grp, v,
+                 CAST(row_number() OVER (PARTITION BY grp ORDER BY v ASC) AS BIGINT) AS rn,
+                 count(*) OVER (PARTITION BY grp) AS n
+               FROM v)
+         SELECT grp AS event_type, n,
+           min(CASE WHEN rn = CAST(ceil(0.5e0 * n) AS BIGINT) THEN v END) AS p50,
+           min(CASE WHEN rn = CAST(ceil(0.9e0 * n) AS BIGINT) THEN v END) AS p90,
+           min(CASE WHEN rn = CAST(ceil(0.99e0 * n) AS BIGINT) THEN v END) AS p99
+         FROM r GROUP BY 1, 2""",
+
+    // Diff oracle: same mutation lattice, same full-outer semantics; only
+    // the EQUALITY VERDICTS must agree (each engine hashes its own
+    // rendering, so digests never cross the engine boundary).
+    "q96_table_diff" ->
+      """WITH o AS (SELECT event_id, event_type, value FROM events),
+         nn AS (SELECT event_id, event_type,
+                  CASE WHEN event_id % 89 = 0 THEN value + 1.0 ELSE value END AS value
+                FROM events WHERE event_id % 97 <> 0
+                UNION ALL
+                SELECT event_id + 1000000000, event_type, value FROM events WHERE event_id % 101 = 0),
+         d AS (SELECT coalesce(nn.event_id, o.event_id) AS event_id,
+                 CASE WHEN o.event_id IS NULL THEN 'added'
+                      WHEN nn.event_id IS NULL THEN 'removed'
+                      WHEN o.event_type <> nn.event_type OR o.value <> nn.value THEN 'changed'
+                      ELSE 'unchanged' END AS status
+               FROM o FULL OUTER JOIN nn ON o.event_id = nn.event_id)
+         SELECT event_id, status FROM d WHERE status <> 'unchanged'""",
+
+    // Interval-merge replay: identical running-max island windows on exact
+    // integer microseconds.
+    "q97_interval_merge" ->
+      """WITH v AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+                    FROM events WHERE event_type = 'view'),
+         f AS (SELECT user_id, s, e,
+                 CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w THEN 1 ELSE 0 END AS nw
+               FROM v
+               WINDOW w AS (PARTITION BY user_id ORDER BY s ASC, e ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         g AS (SELECT user_id, s, e,
+                 sum(nw) OVER (PARTITION BY user_id ORDER BY s ASC, e ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+               FROM f)
+         SELECT user_id, min(s) AS island_start, max(e) AS island_end,
+                count(*) AS n_intervals
+         FROM g GROUP BY user_id, island""",
 
     // Z-order replay: the interleave unrolled term by term (exact BIGINT
     // bit arithmetic in both engines).

@@ -264,6 +264,48 @@ object NearDup {
       .select("d1", "d2", "jaccard")
   }
 
+  /** Hamming-distance self-join for SHORT strings (entity names, aliases,
+    * SKUs) at distance <= 1 — the edit-distance dedup family (PassJoin-
+    * style signature blocking, specialized to substitutions): two
+    * equal-length strings at hamming distance <= 1 MUST share at least one
+    * "deletion neighborhood" key (the string with position i masked — mask
+    * the differing position and the keys coincide), so blocking on all
+    * |s| masked variants has ZERO recall loss, and candidates are verified
+    * by an exact character-compare.
+    *
+    * 100 TB shape: the mask explode is narrow (|s| rows per name, bounded
+    * by `maxLen`); the join key carries the length so only comparable
+    * strings meet; block sizes are structurally small for keys with any
+    * entropy (members must agree on every unmasked character — run exact
+    * dedup first if the corpus has mass duplicates, same discipline as the
+    * LSH families). Verification is one codegen'd zip_with over
+    * pre-materialized char arrays (no-CSE discipline).
+    * Output: (d1, d2, hamming) with d1 < d2 and hamming <= 1.
+    */
+  def hammingJoin(rows: DataFrame, idCol: String, nameCol: String,
+                  maxLen: Int = 64): DataFrame = {
+    val base = rows.select(col(idCol).cast("long").as("id"), col(nameCol).as("name"))
+      .where(length(col("name")) <= maxLen)
+    val keyed = base
+      .select(col("id"), col("name"),
+        explode(sequence(lit(1), length(col("name")))).as("i"))
+      .select(col("id"), col("name"),
+        concat_ws("|", length(col("name")).cast("string"), col("i").cast("string"),
+          col("name").substr(lit(1), col("i") - 1),
+          col("name").substr(col("i") + 1, lit(maxLen))).as("mkey"))
+    val cand = keyed.select(col("id").as("d1"), col("name").as("n1"), col("mkey"))
+      .join(keyed.select(col("id").as("d2"), col("name").as("n2"), col("mkey")), Seq("mkey"))
+      .where(col("d1") < col("d2"))
+      .select("d1", "d2", "n1", "n2").distinct()
+    // exact verify over materialized char arrays (lambdas get no CSE)
+    cand
+      .select(col("d1"), col("d2"), split(col("n1"), "").as("c1"), split(col("n2"), "").as("c2"))
+      .select(col("d1"), col("d2"),
+        size(filter(zip_with(col("c1"), col("c2"), (x, y) => x =!= y), b => b))
+          .cast("long").as("hamming"))
+      .where(col("hamming") <= 1)
+  }
+
   /** INCREMENTAL near-dup: flag each document of a NEW shard whose
     * shingle-set Jaccard with any EXISTING corpus document exceeds
     * `threshold` — the asymmetric join a production ingest pipeline runs

@@ -229,6 +229,33 @@ object Sketch {
       .select(Seq(col("grp"), col("n")) ++ estCols: _*)
   }
 
+  /** EXACT per-group quantiles — type-1 / inverse-CDF semantics: the value
+    * at rank ceil(q·n) of the ascending sort. The exact counterpart of
+    * [[histogramQuantiles]] (engine-portable where `percentile`/
+    * `approx_percentile` internals are not): duplicates make the value at
+    * a rank well-defined whatever the tie order, so the result is
+    * engine-exact with no float accumulation at all.
+    *
+    * 100 TB shape: one hash-partitioned sort per group (the exactness
+    * lower bound — this is the verification/finalize tool; the mergeable
+    * sketch above is the streaming/pre-aggregation path) + one pivot
+    * aggregate over rank hits.
+    * Output: (group, n, p50, p90, p99).
+    */
+  def exactQuantiles(rows: DataFrame, valueCol: String, groupCol: String,
+                     qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rows.select(col(groupCol).as("grp"), col(valueCol).cast("double").as("v"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v").asc)).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val aggs = qs.map(q =>
+      min(when(col("rn") === ceil(lit(q) * col("n")), col("v"))).as(s"p${(q * 100).round}"))
+    ranked.groupBy(col("grp"), col("n")).agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("grp").as(groupCol), col("n")) ++
+        qs.map(q => col(s"p${(q * 100).round}")): _*)
+  }
+
   /** Deterministic Bloom-filter membership (Bloom 1970) — the set-sketch
     * completing the family: is this token in the blocklist, with one-sided
     * error (false POSITIVES possible, false negatives never)? k md5-derived

@@ -135,6 +135,34 @@ object TimeJoin {
       stage.as("stage"): _*)
   }
 
+  /** Interval coalescing (merge overlapping/touching intervals per key) —
+    * the classic gaps-and-islands operator behind session stitching,
+    * availability windows, and on-call coverage. A new island starts when
+    * an interval's start exceeds the running max end of everything before
+    * it; islands are numbered by a running sum of those flags and
+    * aggregated to (min start, max end, member count).
+    *
+    * All comparisons on the raw (integer/timestamp) columns — exact. One
+    * window sort per key + one hash aggregate; nothing buffers whole keys.
+    * Touching intervals (next.start == prev.end) MERGE (start > maxEnd
+    * strictly starts a new island); half-open semantics.
+    * Output: (key, island_start, island_end, n_intervals).
+    */
+  def mergeIntervals(rows: DataFrame, keyCol: String,
+                     startCol: String, endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col(keyCol)).orderBy(col(startCol).asc, col(endCol).asc)
+    val prevMax = max(col(endCol)).over(order.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = rows
+      .withColumn("_new", when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(
+        order.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as("island_start"), max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .select(col(keyCol), col("island_start"), col("island_end"), col("n_intervals"))
+  }
+
   /** SCD2 / CDC validity intervals from an append-only event log: per key,
     * each event becomes a row valid from its timestamp until the NEXT
     * event's timestamp (null = still current). The standard

@@ -1128,6 +1128,55 @@ class OpsSpec extends SparkSpec {
     assert(rankOf(3L) < rankOf(2L), s"length normalization violated: $out")
   }
 
+  test("hammingJoin: matches brute force — distance 0 and 1 in, 2 out, unequal lengths out") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "abcdef"), (2L, "abcdex"),   // distance 1
+      (3L, "abcdef"),                   // exact dup of 1 → distance 0
+      (4L, "abxxef"),                   // distance 2 from 1 → out
+      (5L, "abcde"),                    // shorter → never compared to the others
+      (6L, "abcdz"))                    // distance 1 from 5
+      .toDF("c_custkey", "c_name")
+    val got = NearDup.hammingJoin(rows, "c_custkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 0L), (2L, 3L, 1L), (5L, 6L, 1L)))
+  }
+
+  test("mergeIntervals: overlap and touch merge, gaps split, counts right") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u", 0L, 10L), ("u", 5L, 12L),   // overlap → one island
+      ("u", 12L, 20L),                  // TOUCHES (start == prev end) → merges
+      ("u", 25L, 30L),                  // gap → new island
+      ("v", 100L, 110L))
+      .toDF("k", "s", "e")
+    val got = TimeJoin.mergeIntervals(rows, "k", "s", "e").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("u", 0L, 20L, 3L), ("u", 25L, 30L, 1L), ("v", 100L, 110L, 1L)))
+  }
+
+  test("tableDiff: added/removed/changed classified; null payload distinct from empty") {
+    import spark.implicits._
+    val old_ = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null.asInstanceOf[String]))
+      .toDF("id", "payload")
+    val new_ = Seq((1L, "a"), (2L, "B"), (4L, ""), (5L, "e")).toDF("id", "payload")
+    val got = Reconcile.tableDiff(old_, new_, "id", Seq("payload")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed",
+      4L -> "changed", 5L -> "added")) // id 1 unchanged → absent; null ≠ ''
+  }
+
+  test("exactQuantiles: hand-computed type-1 picks with duplicates") {
+    import spark.implicits._
+    // sorted: [1,2,2,3,10,10,10,20,30,100]; n=10 → p50=rank5=10,
+    // p90=rank9=30, p99=rank10=100
+    val vals = Seq(2.0, 10.0, 1.0, 3.0, 10.0, 2.0, 20.0, 10.0, 100.0, 30.0)
+    val rows = vals.map(("g", _)).toDF("grp", "v")
+    val r = Sketch.exactQuantiles(rows, "v", "grp").collect()(0)
+    assert(r.getLong(1) == 10L)
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) == ((10.0, 30.0, 100.0)))
+  }
+
   test("mortonKey: hand-checked interleave, bijective on the bucket grid") {
     import spark.implicits._
     // a=5 (101b) -> bits at even positions 0,4 = 17; b=3 (011b) -> odd
