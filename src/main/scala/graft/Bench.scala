@@ -232,7 +232,8 @@ object Bench {
       "q88_weighted_sample", "q89_bloom_join", "q90_zorder_key",
       "q91_robots_filter", "q92_cms_merged", "q93_retention_cohorts",
       "q94_hamming_join", "q95_exact_quantiles", "q96_table_diff",
-      "q97_interval_merge")
+      "q97_interval_merge", "q98_pareto_skyline", "q99_token_entropy",
+      "q100_novelty_rate")
     // warmup pass: run every headline query once so the timed pass measures
     // steady-state execution, not first-action codegen/IO warmup
     headline.foreach { name =>

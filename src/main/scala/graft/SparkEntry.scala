@@ -335,6 +335,26 @@ object SparkEntry {
     "q88_weighted_sample" -> ((s, dir) =>
       TextOps.weightedStratumSample(t(s, dir, "documents"), k = 5, weightCol = "n_chars")),
 
+    // 2-D Pareto frontier (skyline) per event type: events not dominated
+    // on (value, recency) — multi-criteria top-k with exact comparisons
+    // only.
+    "q98_pareto_skyline" -> ((s, dir) =>
+      graft.ops.Skyline.paretoFrontier(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"), col("ts")),
+        "event_type", "value", "ts")),
+
+    // Per-source token-distribution Shannon entropy (corpus-diversity
+    // signal): per-term −p·log2 p rounded + DECIMAL-summed, so the value
+    // is aggregation-order-independent.
+    "q99_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(t(s, dir, "documents"))),
+
+    // Content-novelty rate: fraction of each doc's distinct 3-gram
+    // shingles first seen (min doc_id) in that doc — the marginal-value
+    // ranking dedup pipelines use for crawl ordering.
+    "q100_novelty_rate" -> ((s, dir) =>
+      TextOps.noveltyRate(t(s, dir, "documents"))),
+
     // Edit-distance dedup family: hamming<=1 self-join over customer names
     // via deletion-neighborhood blocking (mask each position; strings at
     // distance 1 share the key masking their differing position — zero
@@ -1610,6 +1630,48 @@ object SparkEntry {
          SELECT pr.item, pr.exact, min(c.c) AS cms_estimate
          FROM pr JOIN counters c ON pr.r = c.r AND pr.bucket = c.bucket
          GROUP BY 1, 2""",
+
+    // Skyline oracle: the same distinct-x reduction (exact comparisons
+    // only, so the formulations are trivially identical).
+    "q98_pareto_skyline" ->
+      """WITH m AS (SELECT event_type, value, max(ts) AS ymax FROM events GROUP BY 1, 2),
+         s AS (SELECT event_type, value, ymax,
+                 max(ymax) OVER (PARTITION BY event_type ORDER BY value DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+               FROM m),
+         sky AS (SELECT event_type, value, ymax FROM s WHERE prev IS NULL OR ymax > prev)
+         SELECT e.event_id, e.event_type, e.value, e.ts
+         FROM events e JOIN sky ON e.event_type = sky.event_type
+           AND e.value = sky.value AND e.ts = sky.ymax""",
+
+    // Entropy oracle: identical ln-ratio log2 tree, identical round +
+    // DECIMAL(18,9) per-term cast before the sum.
+    "q99_token_entropy" ->
+      """WITH tk AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT source AS grp, unnest(l) AS tok FROM tk),
+         tf AS (SELECT grp, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         tot AS (SELECT grp, CAST(sum(c) AS BIGINT) AS t, count(*) AS n_distinct FROM tf GROUP BY 1),
+         term AS (SELECT tf.grp, tot.t, tot.n_distinct,
+                    CAST(round(-(tf.c / tot.t) * (ln(tf.c / tot.t) / ln(2.0e0)), 9) AS DECIMAL(18,9)) AS h
+                  FROM tf JOIN tot ON tf.grp = tot.grp)
+         SELECT grp AS source, t AS n_tokens, n_distinct,
+                CAST(sum(h) AS DOUBLE) AS entropy_bits
+         FROM term GROUP BY 1, 2, 3""",
+
+    // Novelty oracle: same first-seen-owner min aggregation.
+    "q100_novelty_rate" ->
+      """WITH tk AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), x -> x <> '') AS l FROM documents),
+         toks AS (SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM tk),
+         g AS (SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS g
+               FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                           JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         fs AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1),
+         sc AS (SELECT g.doc_id, count(*) AS n_grams,
+                  CAST(sum(CASE WHEN fs.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+                FROM g JOIN fs ON g.g = fs.g GROUP BY 1)
+         SELECT d.doc_id, sc.n_grams, sc.n_novel,
+                round(sc.n_novel / sc.n_grams, 6) AS novelty
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id""",
 
     // Hamming-join oracle: BRUTE-FORCE all equal-length pairs — proves the
     // deletion-neighborhood blocking loses nothing.

@@ -688,6 +688,69 @@ object TextOps {
     }.reduce(_ unionAll _)
   }
 
+  /** Shannon entropy of the token distribution per group — the corpus-
+    * diversity signal data-mixing pipelines track per source (a source
+    * whose token entropy collapses is template spam; one whose entropy is
+    * anomalously high is often binary junk). H = −Σ p·log2 p over the
+    * group's token frequencies.
+    *
+    * Determinism: each term's −p·log2 p is computed in one fixed double
+    * tree, rounded to 9 dp and cast to DECIMAL(18,9) BEFORE the sum —
+    * decimal addition is exact and order-independent (the q74/BM25
+    * discipline), so the entropy is engine-identical no matter how Spark
+    * partitions the vocabulary.
+    *
+    * 100 TB shape: one (group, token) count aggregation (vocabulary-
+    * bounded), one group-total aggregation joined back, one decimal sum.
+    * Output: (group, n_tokens, n_distinct, entropy_bits).
+    */
+  def tokenEntropy(docs: DataFrame,
+                   groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val tf = docs.select(col(groupCol).as("grp"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("grp"), col("tok")).agg(count(lit(1)).as("c"))
+    val totals = tf.groupBy(col("grp"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("n_distinct"))
+    // log2 spelled as ln(p)/ln(2) in BOTH engines (a native log2 may round
+    // differently from the ratio; ln itself is proven bit-stable here)
+    val p = col("c") / col("t")
+    val term = round(-p * (log(p) / log(lit(2.0))), 9).cast("decimal(18,9)")
+    tf.join(totals, Seq("grp"))
+      .select(col("grp"), col("t"), col("n_distinct"), term.as("h"))
+      .groupBy(col("grp"), col("t"), col("n_distinct"))
+      .agg(sum(col("h")).cast("double").as("entropy_bits"))
+      .select(col("grp").as(groupCol), col("t").as("n_tokens"),
+        col("n_distinct"), col("entropy_bits"))
+  }
+
+  /** Content-novelty rate — the dedup-adjacent contribution score: in
+    * doc_id order, what fraction of a document's distinct shingles has
+    * never appeared in ANY earlier document? Docs full of already-seen
+    * content score near 0 (candidates for dropping even when no single
+    * near-dup pair fires); the metric ranks a crawl by marginal value.
+    *
+    * 100 TB shape: one (gram → min doc_id) aggregation over the deduped
+    * gram stream (first-seen owner, map-side partial min) joined back to
+    * the per-doc grams — two shuffles on uniform gram keys; no ordering
+    * or windowing over the corpus.
+    * Output: (doc_id, n_grams, n_novel, novelty) — novelty = n_novel /
+    * n_grams rounded 6dp; gramless docs keep a row with nulls.
+    */
+  def noveltyRate(docs: DataFrame, n: Int = 3,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val grams = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(array_distinct(NearDup.shingleArr(col("toks"), n))).as("g"))
+    val firstSeen = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    val scored = grams.join(firstSeen, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_grams"), 6))
+    ids.join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_novel"), col("novelty"))
+  }
+
   /** PII detection + scrubbing (CCNet/Dolma-style pre-training hygiene):
     * count and replace emails, IPv4 addresses, and US-style phone numbers
     * with typed placeholder tags. Patterns are lookaround-free so Java

@@ -1128,6 +1128,50 @@ class OpsSpec extends SparkSpec {
     assert(rankOf(3L) < rankOf(2L), s"length normalization violated: $out")
   }
 
+  test("paretoFrontier: dominated rows drop, ties and duplicate points survive") {
+    import spark.implicits._
+    val rows = Seq(
+      ("g", 1L, 5.0, 10L),   // dominated by (5.0,30) on y? x=5.0... see below
+      ("g", 2L, 5.0, 30L),   // frontier: highest y at x=5.0
+      ("g", 3L, 7.0, 20L),   // frontier: larger x, y=20
+      ("g", 4L, 7.0, 20L),   // duplicate of 3 → also kept
+      ("g", 5L, 6.0, 15L),   // dominated by (7.0, 20)
+      ("g", 6L, 9.0, 5L),    // frontier: largest x
+      ("h", 7L, 1.0, 1L))    // other group untouched
+      .toDF("grp", "id", "x", "y")
+    val got = Skyline.paretoFrontier(rows, "grp", "x", "y").collect()
+      .map(_.getAs[Long]("id")).toSet
+    assert(got == Set(2L, 3L, 4L, 6L, 7L))
+  }
+
+  test("tokenEntropy: uniform → log2(k) bits, constant → 0, counts right") {
+    import spark.implicits._
+    val d = Seq(("u", "a b c d"), ("u", "a b c d"),  // uniform over 4 tokens
+      ("k", "z z z z z")).toDF("source", "text")
+    val out = TextOps.tokenEntropy(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("u")._1 == 8L && out("u")._2 == 4L)
+    assert(math.abs(out("u")._3 - 2.0) < 1e-6)     // log2(4), rounding at 9dp
+    assert(out("k") == ((5L, 1L, -0.0)) || out("k") == ((5L, 1L, 0.0)))
+  }
+
+  test("noveltyRate: first-seen ownership by min doc_id; gramless doc keeps a null row") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d"),        // grams: abc bcd → both novel (first doc)
+      (2L, "a b c x"),        // abc (seen in 1), bcx (novel) → 1/2
+      (3L, "a b c d"),        // all seen → 0
+      (4L, "zz"))             // no 3-grams → null row
+      .toDF("doc_id", "text")
+    val out = TextOps.noveltyRate(d).collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(out(1L) == ((Some(2L), Some(2L), Some(1.0))))
+    assert(out(2L) == ((Some(2L), Some(1L), Some(0.5))))
+    assert(out(3L) == ((Some(2L), Some(0L), Some(0.0))))
+    assert(out(4L) == ((None, None, None)))
+  }
+
   test("hammingJoin: matches brute force — distance 0 and 1 in, 2 out, unequal lengths out") {
     import spark.implicits._
     val rows = Seq(
