@@ -180,6 +180,17 @@ object NearDup {
     * one per-doc sort (narrow), then an equi-join on prefix grams. The
     * rarest-first order is the skew guard: ubiquitous grams land in a
     * prefix only for docs consisting almost entirely of ubiquitous grams.
+    *
+    * Scale boundary (measured, DataScaleProbe): on corpora with a DEGENERATE
+    * vocabulary (every gram corpus-common — template spam, tiny synthetic
+    * vocabularies) the candidate set of any exact prefix-filter algorithm is
+    * quadratic by corpus construction, and an exact join cannot cap buckets
+    * without ceasing to be exact — the 50k→500k probe measured 89× wall at
+    * 10× input on exactly such a corpus, vs 1.7× for the mask-blocked
+    * hamming family. Use this operator when the threshold is a hard
+    * contract over a Zipfian corpus (rare tokens exist, prefixes prune);
+    * on template-degenerate corpora run exact dedup + the guardrailed LSH
+    * families, whose `maxBucket` accounting exists for precisely this case.
     * Output: (d1, d2, inter, n1, n2, jaccard), d1 < d2.
     */
   def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int,

@@ -93,6 +93,20 @@ object DataScaleProbe {
         record("embedding_neardup")(embScaled.pairs.count())
         println(s"n=$n embedding_neardup drops: ${embScaled.logDrops()}")
       }
+      // EXACT prefix-filter similarity join (q73 family) at a threshold
+      // high enough that the synthetic corpus's quadratic duplicate mass
+      // (8-sentence vocabulary) stays out of the TRUE pair set — the
+      // operator is exact, so unlike the LSH families there is no bucket
+      // cap to hide behind; the probe measures the real thing
+      record("prefix_jaccard")(NearDup.prefixJaccardPairs(canonical, 99, 100).count())
+      // hamming<=1 deletion-neighborhood join (q94 family) over fixed-
+      // format ids — the low-entropy worst case for prefix blocking is the
+      // DESIGNED case for mask blocking
+      record("hamming_join") {
+        val names = spark.range(n / 10).select(col("id").as("c_custkey"),
+          concat(lit("Item#"), lpad(col("id").cast("string"), 9, "0")).as("c_name"))
+        NearDup.hammingJoin(names, "c_custkey", "c_name").count()
+      }
       record("kg_triples")(Pipeline.docGraphs(spark,
         Corpus.pages(spark, n, partitions = 128))
         .flatMap(g => GraphBuild.triples(g)).count())
