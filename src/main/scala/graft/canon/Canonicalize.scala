@@ -52,7 +52,6 @@ object Canonicalize {
     val e0 = edges
       .select(col(srcCol).cast("string").as("a"), col(dstCol).cast("string").as("b"))
       .where($"a" =!= $"b")
-    val vertices = e0.select($"a".as("id")).union(e0.select($"b".as("id"))).distinct()
 
     // localCheckpoint persists its RDD in the block manager and Dataset has
     // no handle to unpersist it; track the ids each checkpoint adds so the
@@ -92,10 +91,13 @@ object Canonicalize {
       val sym = cur.union(cur.select($"v".as("u"), $"u".as("v")))
       val mins = sym.groupBy($"u").agg(min($"v").as("mn"))
         .select($"u", least($"mn", $"u").as("m"))
+      // no distinct here: |ls| = |{(u,v) ∈ sym : v > u}| = |cur| either way
+      // (dedup could only shrink it), every consumer is duplicate-insensitive
+      // (mins2 is a min; ss ends in distinct), and dropping it removes one
+      // full exchange of the edge set per round
       val ls = sym.join(mins, Seq("u"))
         .where($"v" > $"u")
         .select($"v".as("u"), $"m".as("v"))   // v > u ≥ m → stays (larger, smaller)
-        .distinct()
       // ---- small-star: every node u links its smaller neighbors (and
       // itself) to its min smaller neighbor; on (larger, smaller)-oriented
       // edges all neighbors in the group are smaller, so no `least` needed.
@@ -125,7 +127,15 @@ object Canonicalize {
     // converged state is a forest of stars: every non-root appears as the
     // larger endpoint pointing at its component's min id (groupBy-min is an
     // identity pass there — kept as a guard so a residual multi-edge could
-    // never duplicate label rows)
+    // never duplicate label rows). The vertex set is read from the FINAL
+    // materialized snapshot, not from e0: both star rounds preserve the
+    // endpoint set (large-star keeps every vertex as a larger endpoint or
+    // as the min-target of its larger neighbors; small-star keeps every
+    // left endpoint via its (u, m) row and every right endpoint as a
+    // target), so the set is identical — and the (possibly expensive)
+    // upstream edge pipeline, e.g. q62's full LSH-verify chain, is
+    // evaluated ONCE instead of re-run for the label join.
+    val vertices = cur.select($"u".as("id")).union(cur.select($"v".as("id"))).distinct()
     vertices
       .join(cur.groupBy($"u".as("id")).agg(min($"v").as("component")), Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("component"))

@@ -43,24 +43,32 @@ object PageRank {
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     val n = nodes.count() // one scalar, computed once (not per iteration)
     require(n > 0, "pageRank needs a non-empty graph")
-    val (outdeg, odIds) = checkpointTracked(
-      e.groupBy(col("src")).agg(count(lit(1)).as("odeg")))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
 
+    // out-degree rides the rank snapshot (null = dangling): the per-
+    // iteration plan then needs NO outdeg join (odeg is already on the rank
+    // row flowing into the inflow sum) and NO anti-join for the dangling
+    // mass (a narrow null-filter aggregate over the materialized snapshot)
+    // — two joins fewer per iteration than the previous shape, with the
+    // identical per-edge r/odeg terms and row sets.
     var (ranks, rankIds) = checkpointTracked(
-      nodes.select(col("id"), lit(1.0 / n).as("r")))
+      nodes.join(outdeg, nodes("id") === outdeg("src"), "left")
+        .select(col("id"), col("odeg"), lit(1.0 / n).as("r")))
+    free(nodeIds) // init consumed it; e + ranks carry everything the loop needs
     for (_ <- 1 to iters) {
       // dangling mass: rank sitting on nodes with no out-edges; kept as a
       // 1-row frame and broadcast back — no driver collect in the loop
-      val dang = ranks.join(outdeg, ranks("id") === outdeg("src"), "left_anti")
+      val dang = ranks.where(col("odeg").isNull)
         .agg(coalesce(sum(col("r")), lit(0.0)).as("dm"))
+      // every src in e has odeg >= 1, so joining the full rank snapshot is
+      // exactly the old ranks⋈outdeg composition
       val inflow = e.join(ranks, e("src") === ranks("id"))
-        .join(outdeg, "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("r") / col("odeg")).as("inflow"))
       val (next, nextIds) = checkpointTracked(
-        nodes.join(inflow, Seq("id"), "left")
+        ranks.select(col("id"), col("odeg")).join(inflow, Seq("id"), "left")
           .crossJoin(broadcast(dang))
-          .select(col("id"),
+          .select(col("id"), col("odeg"),
             (lit((1.0 - d) / n) +
               lit(d) * (coalesce(col("inflow"), lit(0.0)) + col("dm") / n)).as("r")))
       // localCheckpoint() is eager: `next` is materialized, so the snapshot
@@ -70,7 +78,7 @@ object PageRank {
       rankIds = nextIds
     }
     val out = ranks.select(col("id").as("node_id"), round(col("r"), 6).as("rank"))
-    free(eIds ++ nodeIds ++ odIds) // ranks snapshot stays live for the caller
+    free(eIds) // ranks snapshot stays live for the caller
     out
   }
 }

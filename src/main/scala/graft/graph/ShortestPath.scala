@@ -56,16 +56,20 @@ object ShortestPath {
       val improved = cand.join(old, cand("node_id") === old("o_id"), "left")
         .where(col("o_dist").isNull || col("dist") < col("o_dist"))
         .select(col("node_id"), col("dist"))
-      // snapshot BOTH frames before freeing the superseded ones — their
-      // lineage reads the old snapshots, which must stay alive until then
-      val (newDist, newIds) = checkpointTracked(
+      // ONE snapshot per round carrying an improved-flag column: newDist is
+      // every row, newDelta a narrow filter over the same materialized
+      // table — the former two-checkpoint shape ran the relaxation plan in
+      // two separate actions for the same two frames
+      val (combined, newIds) = checkpointTracked(
         dist.join(improved.select(col("node_id").as("i_id")),
             dist("node_id") === col("i_id"), "left_anti")
-          .unionAll(improved))
-      val (newDelta, ndIds) = checkpointTracked(improved)
+          .select(col("node_id"), col("dist"), lit(false).as("imp"))
+          .unionAll(improved.select(col("node_id"), col("dist"), lit(true).as("imp"))))
       free(distIds); free(deltaIds)
-      dist = newDist; distIds = newIds
-      delta = newDelta; deltaIds = ndIds
+      dist = combined.select(col("node_id"), col("dist"))
+      distIds = newIds
+      delta = combined.where(col("imp")).select(col("node_id"), col("dist"))
+      deltaIds = Set.empty
       deltaSize = delta.count()
     }
     free(eIds); free(deltaIds)

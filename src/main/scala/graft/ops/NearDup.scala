@@ -57,25 +57,60 @@ object NearDup {
     *
     * Plan shape: narrow per-doc-deduped shingle explode (see shingleRows —
     * min is duplicate-insensitive so the deduped set gives identical
-    * signatures while shrinking the ×k-seed explode and md5 count, with no
-    * exchange; the same discipline `lshVerifiedPairs` uses, so the two
-    * paths share one shape), × k seeds, one md5 per (shingle, seed), then a
-    * hash aggregate with map-side partial min — the only shuffle carries
-    * docs×k rows of 32-char strings.
+    * signatures while shrinking the md5 count, with no exchange; the same
+    * discipline `lshVerifiedPairs` uses, so the two paths share one shape),
+    * then the WIDE one-shuffle aggregation (`minhashWide`) unpivoted back to
+    * (doc_id, seed, minhash) rows by a narrow posexplode.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 8,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     minhashFromShingleRows(shingleRows(docs, idCol, textCol), k)
 
-  /** Same, from precomputed (doc_id, shingle) rows — lets lshVerifiedPairs
-    * share ONE corpus tokenize/shingle scan between signature generation and
-    * exact verification.
+  /** WIDE per-doc minhash: ONE hash aggregate computing all k signature
+    * columns (plus the distinct-shingle count) in a single shuffle —
+    * replaces the former explode(×k seeds) → groupBy(doc_id, seed) shape,
+    * which shuffled k× the rows and hashed k× the aggregation keys for the
+    * same k md5 digests per shingle. The count column doubles as the exact
+    * shingle-set size, so Jaccard verification needs no separate size
+    * aggregation + joins. Output: (doc_id, n, m0..m{k-1}).
+    */
+  private def minhashWide(rows: DataFrame, k: Int): DataFrame = {
+    val aggs = count(lit(1)).as("n") +:
+      (0 until k).map(s => min(md5(concat(col("shingle"), lit(s":$s")))).as(s"m$s"))
+    rows.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Same, from precomputed (doc_id, shingle) rows. Kept in the historical
+    * explode(×k seeds) → groupBy(doc_id, seed) shape: when the caller wants
+    * the (doc_id, seed, minhash) ROWS themselves (q15), this is measured
+    * faster than unpivoting `minhashWide` (0.55 s vs 1.31 s at sf0.1 —
+    * min-of-string aggregation buffers are object-hashed, and one narrow
+    * string buffer per key beats nine wide ones when no downstream fusion
+    * pays for them); the fused chains use `minhashWide` directly.
     */
   private def minhashFromShingleRows(rows: DataFrame, k: Int): DataFrame =
     rows
       .select(col("doc_id"), col("shingle"), explode(sequence(lit(0L), lit(k - 1L))).as("seed"))
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(md5(concat(col("shingle"), lit(":"), col("seed").cast("string")))).as("minhash"))
+
+  /** LSH band signatures straight off the wide minhash row — a NARROW
+    * projection + 2-rows-per-doc explode (no second shuffle; the former
+    * lshBands re-grouped the unpivoted signature rows by (doc_id, band) and
+    * re-collected/sorted what the wide row already holds in seed order).
+    * band_sig is byte-identical to lshBands': md5 of the comma-joined
+    * minhashes in seed order. Output: (doc_id, n, band, band_sig).
+    */
+  private def bandsFromWide(wide: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val nBands = (k + rowsPerBand - 1) / rowsPerBand
+    val bandStructs = (0 until nBands).map { b =>
+      val ms = (b * rowsPerBand until math.min(k, (b + 1) * rowsPerBand)).map(s => col(s"m$s"))
+      struct(lit(b.toLong).as("band"), md5(concat_ws(",", ms: _*)).as("band_sig"))
+    }
+    wide.select(col("doc_id"), col("n"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("n"),
+        col("bk.band").as("band"), col("bk.band_sig").as("band_sig"))
+  }
 
   /** LSH bands: group `rowsPerBand` consecutive seeds into one band signature
     * = md5 of the comma-joined minhashes in seed order.
@@ -130,6 +165,20 @@ object NearDup {
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
   }
+
+  /** Fused docs→LSH-candidate-pairs path: identical (d1, d2) set to
+    * `lshCandidates(lshBands(minhashSignatures(docs, k), rowsPerBand))`
+    * via the wide minhash aggregation — one shuffle to signatures and a
+    * narrow band projection instead of the two groupBys the composed form
+    * pays (that form remains for callers holding signature/band tables).
+    */
+  def lshCandidatePairs(docs: DataFrame, k: Int = 8, rowsPerBand: Int = 4,
+                        maxBucket: Int = Int.MaxValue,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    candidatesWithSizes(
+      bandsFromWide(minhashWide(shingleRows(docs, idCol, textCol), k), k, rowsPerBand),
+      maxBucket)
+      .select("d1", "d2")
 
   /** Exact shingle-set Jaccard over all pairs sharing ≥1 shingle (suitable
     * below ~10⁶ docs; at scale restrict to `lshCandidates` first).
@@ -211,9 +260,16 @@ object NearDup {
       .select(col("doc_id"), col("kgs"), size(col("kgs")).cast("long").as("n"))
     // required overlap ceil(t·n) in exact integer arithmetic; prefix = rest + 1
     val req = floor((col("n") * num + (den - 1)) / den).cast("long")
+    // materialized once: the prefix×prefix self-join below reads BOTH sides
+    // from this table — without the snapshot the whole df-join + per-doc
+    // collect/sort chain is evaluated twice (the lshCandidates lesson; the
+    // self-join itself is kept because the positional filter needs p from
+    // both sides and prefix buckets of ubiquitous grams must stay under
+    // AQE's skew-join splitting, not in collected lists)
     val pref = arrs.select(col("doc_id"), col("n"),
       posexplode(slice(col("kgs"), lit(1), greatest(lit(0L), col("n") - req + 1).cast("int"))))
       .select(col("doc_id"), col("n"), (col("pos") + 1).cast("long").as("p"), col("col").as("kg"))
+      .localCheckpoint()
     // PPJoin positional filter: the pair's MINIMUM shared gram sits at
     // (p1, p2) with every other shared gram strictly after both, so overlap
     // <= 1 + min(n1-p1, n2-p2); J >= t needs overlap·(num+den) >= num·(n1+n2)
@@ -248,32 +304,59 @@ object NearDup {
                        maxBucket: Int = Int.MaxValue,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // ONE tokenize/shingle scan over the corpus, materialized once: the
-    // deduped set feeds the minhash signatures (min is duplicate-insensitive
-    // so the distinct set is equivalent), both verification joins, and the
-    // size aggregation
+    // deduped set feeds the wide minhash aggregation (min is duplicate-
+    // insensitive so the distinct set is equivalent) and both verification
+    // joins; the wide row's count column carries the shingle-set sizes all
+    // the way through the candidate pairs, so verification needs no size
+    // aggregation or joins at all.
     val ds = shingleRows(docs, idCol, textCol)
       .localCheckpoint()
-    val cands = lshCandidates(lshBands(minhashFromShingleRows(ds, k), rowsPerBand), maxBucket)
-    verifyJaccard(ds, cands, threshold)
+    val cands = candidatesWithSizes(bandsFromWide(minhashWide(ds, k), rowsPerBand = rowsPerBand, k = k), maxBucket)
+    verifyJaccardSized(ds, cands, threshold)
   }
 
-  /** Exact-Jaccard verification of candidate pairs against precomputed
-    * (doc_id, shingle) rows. Equi-join keys (d1) then (d2, shingle): hash
-    * joins, no per-pair cross.
+  /** Candidate pairs from (doc_id, n, band, band_sig) rows with both docs'
+    * shingle-set sizes carried — the same ONE-aggregation bucket-collect
+    * shape as `lshCandidates` (identical (d1, d2) pair set: sort_array on
+    * struct(doc_id, n) orders by the unique doc_id exactly like the
+    * id-only list). Output: (d1, d2, n1, n2), d1 < d2, distinct.
     */
-  private def verifyJaccard(ds: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
-    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cands
+  private def candidatesWithSizes(bands: DataFrame, maxBucket: Int): DataFrame = {
+    val pruned =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val keep = bands.groupBy(col("band"), col("band_sig"))
+          .agg(count(lit(1)).as("bn"))
+          .where(col("bn") > 1 && col("bn") <= maxBucket)
+          .select(col("band"), col("band_sig"))
+        bands.join(keep, Seq("band", "band_sig"), "left_semi")
+      }
+    pruned
+      .groupBy(col("band"), col("band_sig"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ms"))
+      .where(size(col("ms")) > 1 && size(col("ms")) <= maxBucket)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("doc_id").as("d1"), y.getField("doc_id").as("d2"),
+            x.getField("n").as("n1"), y.getField("n").as("n2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verification of size-carrying candidate pairs against
+    * precomputed (doc_id, shingle) rows. Equi-join keys (d1) then
+    * (d2, shingle): hash joins, no per-pair cross, and no size joins —
+    * n1/n2 ride the candidate rows.
+    */
+  private def verifyJaccardSized(ds: DataFrame, cands: DataFrame, threshold: Double): DataFrame =
+    cands
       .join(ds.withColumnRenamed("doc_id", "d1"), Seq("d1"))
       .join(ds.withColumnRenamed("doc_id", "d2"), Seq("d2", "shingle"))
-      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1"), Seq("d1"))
-      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2"), Seq("d2"))
+      .groupBy(col("d1"), col("d2"), col("n1"), col("n2")).agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
       .where(col("jaccard") > threshold)
       .select("d1", "d2", "jaccard")
-  }
 
   /** Hamming-distance self-join for SHORT strings (entity names, aliases,
     * SKUs) at distance <= 1 — the edit-distance dedup family (PassJoin-
@@ -304,10 +387,21 @@ object NearDup {
         concat_ws("|", length(col("name")).cast("string"), col("i").cast("string"),
           col("name").substr(lit(1), col("i") - 1),
           col("name").substr(col("i") + 1, lit(maxLen))).as("mkey"))
-    val cand = keyed.select(col("id").as("d1"), col("name").as("n1"), col("mkey"))
-      .join(keyed.select(col("id").as("d2"), col("name").as("n2"), col("mkey")), Seq("mkey"))
-      .where(col("d1") < col("d2"))
-      .select("d1", "d2", "n1", "n2").distinct()
+    // ONE bucket-collect aggregation instead of a self-join on mkey: the
+    // self-join evaluated the whole mask-explode pipeline twice (the
+    // lshCandidates lesson); sort_array on struct(id, name) orders by the
+    // unique id, so the exploded (d1 < d2) pair set is identical.
+    val cand = keyed
+      .groupBy(col("mkey"))
+      .agg(sort_array(collect_list(struct(col("id"), col("name")))).as("ms"))
+      .where(size(col("ms")) > 1)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("id").as("d1"), y.getField("id").as("d2"),
+            x.getField("name").as("n1"), y.getField("name").as("n2")))))).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      .distinct()
     // exact verify over materialized char arrays (lambdas get no CSE)
     cand
       .select(col("d1"), col("d2"), split(col("n1"), "").as("c1"), split(col("n2"), "").as("c2"))
@@ -337,20 +431,19 @@ object NearDup {
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val dsNew = shingleRows(newDocs, idCol, textCol).localCheckpoint()
     val dsOld = shingleRows(corpus, idCol, textCol).localCheckpoint()
-    val cand = lshBands(minhashFromShingleRows(dsNew, k), rowsPerBand)
-      .select(col("doc_id").as("new_id"), col("band"), col("band_sig"))
-      .join(lshBands(minhashFromShingleRows(dsOld, k), rowsPerBand)
-        .select(col("doc_id").as("old_id"), col("band"), col("band_sig")),
+    // per-side wide minhash (one shuffle each) with the shingle-set size
+    // carried through the band join, so verification needs no size joins
+    val cand = bandsFromWide(minhashWide(dsNew, k), k, rowsPerBand)
+      .select(col("doc_id").as("new_id"), col("n").as("n1"), col("band"), col("band_sig"))
+      .join(bandsFromWide(minhashWide(dsOld, k), k, rowsPerBand)
+        .select(col("doc_id").as("old_id"), col("n").as("n2"), col("band"), col("band_sig")),
         Seq("band", "band_sig"))
-      .select("new_id", "old_id").distinct()
-    val szNew = dsNew.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val szOld = dsOld.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .select("new_id", "old_id", "n1", "n2").distinct()
     cand
       .join(dsNew.withColumnRenamed("doc_id", "new_id"), Seq("new_id"))
       .join(dsOld.withColumnRenamed("doc_id", "old_id"), Seq("old_id", "shingle"))
-      .groupBy(col("new_id"), col("old_id")).agg(count(lit(1)).as("inter"))
-      .join(szNew.withColumnRenamed("doc_id", "new_id").withColumnRenamed("n", "n1"), Seq("new_id"))
-      .join(szOld.withColumnRenamed("doc_id", "old_id").withColumnRenamed("n", "n2"), Seq("old_id"))
+      .groupBy(col("new_id"), col("old_id"), col("n1"), col("n2"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", round(col("inter") / (col("n1") + col("n2") - col("inter")), 6))
       .where(col("jaccard") > threshold)
       .select("new_id", "old_id", "jaccard")
@@ -407,10 +500,11 @@ object NearDup {
       .localCheckpoint()
     // band rows are read three times (count-filter, bucket collection, drop
     // accounting) — materialize them once; docs×(k/rowsPerBand) small rows
-    val bands = lshBands(minhashFromShingleRows(ds, k), rowsPerBand)
+    // (n rides along so verification needs no size joins)
+    val bands = bandsFromWide(minhashWide(ds, k), k, rowsPerBand)
       .localCheckpoint()
     ScaledNearDup(
-      pairs = verifyJaccard(ds, lshCandidates(bands, maxBucket), threshold),
+      pairs = verifyJaccardSized(ds, candidatesWithSizes(bands, maxBucket), threshold),
       droppedBuckets = lshOverflowBuckets(bands, maxBucket))
   }
 
@@ -448,14 +542,32 @@ object NearDup {
     * recomputes it in SQL). `simhash64` (FNV basis) stays as the
     * allocation-free scale variant — same algorithm, cheaper hash.
     */
+  /** Java-regex `\s` (the historical tokenizer was split("\\s+")): exactly
+    * space, tab, LF, vertical tab, FF, CR — NOT the Python/Unicode space
+    * set `isPySpace` uses, so the two simhash variants keep their distinct
+    * (and oracle-replayed) tokenizations.
+    */
+  @inline private def isRegexSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
   def simhashMd5Long(text: String): Long = {
     val votes = new Array[Int](64)
     if (text != null) {
-      for (tok <- text.split("\\s+") if tok.nonEmpty) {
-        val v = java.lang.Long.parseUnsignedLong(
-          graft.text.PyText.md5Hex(tok).substring(0, 16), 16)
-        var b = 0
-        while (b < 64) { if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+      // manual maximal-run tokenization — same token sequence as
+      // split("\\s+") with empties dropped, without the regex engine or the
+      // per-token hex-string round trip (md5Top64 ≡ the first 16 hex chars
+      // parsed as an unsigned long)
+      val n = text.length
+      var i = 0
+      while (i < n) {
+        while (i < n && isRegexSpace(text.charAt(i))) i += 1
+        val start = i
+        while (i < n && !isRegexSpace(text.charAt(i))) i += 1
+        if (i > start) {
+          val v = graft.text.PyText.md5Top64(text.substring(start, i))
+          var b = 0
+          while (b < 64) { if (((v >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1; b += 1 }
+        }
       }
     }
     var out = 0L

@@ -127,10 +127,20 @@ object Similarity {
     */
   def trainIvfCentroids(embeddings: DataFrame, centroids: Int = 16, iters: Int = 2,
                         idCol: String = "vec_id", embCol: String = "embedding",
-                        maxTrainVectors: Long = 0L): DataFrame = {
-    val full = embeddings
-      .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
-      .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
+                        maxTrainVectors: Long = 0L): DataFrame =
+    trainIvfFromMat(
+      embeddings
+        .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
+        .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm")),
+      centroids, iters, maxTrainVectors)
+
+  /** Training core over a prepared (nid, nemb, nnorm) frame — lets ivfTopK
+    * hand the trainer its own materialized scan instead of each side
+    * re-deriving (and re-materializing) the cast/norm projection.
+    */
+  private def trainIvfFromMat(full: DataFrame, centroids: Int, iters: Int,
+                              maxTrainVectors: Long,
+                              materialized: Boolean = false): DataFrame = {
     val sampled =
       if (maxTrainVectors <= 0L) full
       else {
@@ -141,8 +151,10 @@ object Similarity {
         val mod = math.max(1L, (n + maxTrainVectors - 1L) / maxTrainVectors)
         full.where(pmod(xxhash64(col("nid")), lit(mod)) === 0L)
       }
-    val mat = sampled
-      .localCheckpoint() // reused iters+1 times — materialize the cast/norm once
+    // reused iters+1 times — materialize the cast/norm once (skipped when
+    // the caller already hands in a materialized unsampled frame)
+    val mat =
+      if (materialized && (sampled eq full)) full else sampled.localCheckpoint()
     val dims = mat.select(col("nid"), posexplode(col("nemb")).as(Seq("pos", "val")))
     var cents = mat.orderBy(col("nid").asc).limit(centroids)
       .select(col("nid").as("cid"), col("nemb").as("cemb"))
@@ -196,15 +208,19 @@ object Similarity {
               centroids: Int = 16, nprobe: Int = 4, trainIters: Int = 2,
               idCol: String = "vec_id", embCol: String = "embedding",
               maxTrainVectors: Long = 0L): DataFrame = {
+    // ONE materialized cast/norm scan shared by training, assignment, and
+    // the probe side (previously the trainer checkpointed its own identical
+    // copy and assignment/probe re-derived the projection from the source)
     val mat = embeddings
       .select(col(idCol).as("nid"), asDouble(col(embCol)).as("nemb"))
       .select(col("nid"), col("nemb"), norm(col("nemb")).as("nnorm"))
+      .localCheckpoint()
     // coarse quantizer: k-means-trained from the `centroids` SMALLEST ids
     // (rank-based seeds, so sparse or offset id spaces work); orderBy+limit
     // plans as TakeOrderedAndProject (per-partition top-N, no full sort)
     val cents =
       if (trainIters > 0)
-        trainIvfCentroids(embeddings, centroids, trainIters, idCol, embCol, maxTrainVectors)
+        trainIvfFromMat(mat, centroids, trainIters, maxTrainVectors, materialized = true)
       else mat.orderBy(col("nid").asc).limit(centroids)
         .select(col("nid").as("cid"), col("nemb").as("cemb"), col("nnorm").as("cnorm"))
     // inverted lists: every vector → its nearest centroid (broadcast join);
@@ -251,16 +267,19 @@ object Similarity {
   def hashedEmbeddings(docs: DataFrame, dim: Int = 64,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(256 % dim == 0, s"dim $dim must divide 256 for an unbiased 2-hex-char bucket")
-    val counts = docs
+    // ONE hash aggregate: dim conditional-count columns per doc (map-side
+    // partial, buffer = dim longs) instead of the former two-shuffle
+    // groupBy(doc, bucket) → groupBy(doc) collect/map_from_entries shape.
+    // count(when(bucket = j)) ≡ the per-bucket count with absent buckets 0,
+    // so vectors are bit-identical.
+    val bucketed = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"),
         (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % dim).as("bucket"))
-      .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
-    counts.groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+    val cnts = (0 until dim).map(j => count(when(col("bucket") === j, lit(1))).as(s"c$j"))
+    bucketed.groupBy(col("doc_id")).agg(cnts.head, cnts.tail: _*)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dim - 1)),
-          j => coalesce(element_at(col("m"), j.cast("long")), lit(0L)).cast("double")).as("emb"))
+        array((0 until dim).map(j => col(s"c$j").cast("double")): _*).as("emb"))
   }
 
   /** Embedding-cosine near-dup pairs — the 5th dedup family (exact hash,

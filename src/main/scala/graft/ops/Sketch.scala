@@ -49,18 +49,24 @@ object Sketch {
     * Output: (group, n_exact, n_registers, hll_estimate).
     */
   def hllDistinct(rows: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val est = estimateRegs(registers(rows, col(groupCol), valueCol))
-    val exact = rows.groupBy(col(groupCol).as("grp"))
-      .agg(countDistinct(col(valueCol)).as("n_exact"))
+    // ONE scan of the (possibly expensive — tokenize/explode) input: the
+    // distinct (grp, value) pairs feed BOTH the registers (md5 once per
+    // distinct pair instead of per occurrence; max is duplicate-insensitive
+    // so registers are identical) and the exact count (count over the
+    // distinct pairs ≡ the old per-group countDistinct).
+    val d = rows.select(col(groupCol).as("grp"), col(valueCol).as("v"))
+      .distinct().localCheckpoint()
+    val est = estimateRegs(registersFromDistinct(d))
+    val exact = d.groupBy(col("grp")).agg(count(lit(1)).as("n_exact"))
     exact.join(est, Seq("grp"), "left")
       .select(col("grp").as(groupCol), col("n_exact"),
         coalesce(col("n_registers"), lit(0L)).as("n_registers"),
         col("hll_estimate"))
   }
 
-  /** (grp, bucket, mx) register rows for `valueCol` grouped by `grpExpr`. */
-  private def registers(rows: DataFrame, grpExpr: Column, valueCol: String): DataFrame =
-    rows.select(grpExpr.as("grp"), md5(col(valueCol)).as("h"))
+  /** (grp, bucket, mx) register rows from DISTINCT (grp, v) pairs. */
+  private def registersFromDistinct(d: DataFrame): DataFrame =
+    d.select(col("grp"), md5(col("v")).as("h"))
       .select(col("grp"), col("h"),
         conv(substring(col("h"), 1, 2), 16, 10).cast("int").as("bucket"),
         rho(substring(col("h"), 3, 12)).as("rho"))
@@ -98,12 +104,17 @@ object Sketch {
     * n_exact is the small-scale verification column.
     */
   def hllMergedDistinct(rows: DataFrame, shardCol: String, valueCol: String): DataFrame = {
-    val shardRegs = registers(rows, col(shardCol), valueCol)
+    // same one-scan discipline as hllDistinct: distinct (shard, value)
+    // pairs feed shard registers, the shard count, and the global exact
+    // distinct (countDistinct over values of the distinct pairs)
+    val d = rows.select(col(shardCol).as("grp"), col(valueCol).as("v"))
+      .distinct().localCheckpoint()
+    val shardRegs = registersFromDistinct(d)
     val merged = shardRegs.groupBy(col("bucket")).agg(max(col("mx")).as("mx"))
       .select(lit("all").as("grp"), col("bucket"), col("mx"))
     val est = estimateRegs(merged).select(col("n_registers"), col("hll_estimate"))
-    val nShards = shardRegs.agg(countDistinct(col("grp")).as("n_shards"))
-    val exact = rows.agg(countDistinct(col(valueCol)).as("n_exact"))
+    val nShards = d.agg(countDistinct(col("grp")).as("n_shards"))
+    val exact = d.agg(countDistinct(col("v")).as("n_exact"))
     nShards.crossJoin(exact).crossJoin(broadcast(est))
   }
 
@@ -130,13 +141,18 @@ object Sketch {
     def bucket(v: Column, r: Column): Column =
       conv(substring(md5(concat(v, lit(":"), r.cast("string"))), 1, 2), 16, 10)
         .cast("int") % width
-    val v = rows.select(col(valueCol).as("item"))
-    val hashed = v
-      .select(col("item"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .select(col("item"), col("r"), bucket(col("item"), col("r")).as("bucket"))
-    val counters = hashed.groupBy("r", "bucket").agg(count(lit(1)).as("c"))
-    val top = v.groupBy("item").agg(count(lit(1)).as("exact"))
-      .orderBy(col("exact").desc, col("item").asc).limit(topK)
+    // ONE scan + ONE aggregation of the (possibly expensive) input: exact
+    // per-item counts are vocabulary-bounded and feed BOTH the counter
+    // build (d md5s per DISTINCT item, weighted by its count — cellwise
+    // sum(count) ≡ the old per-occurrence count(*), with d× fewer rows and
+    // occurrences/distinct-items× fewer md5s) and the top-K probe list.
+    val counts = rows.groupBy(col(valueCol).as("item")).agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
+    val counters = counts
+      .select(col("item"), col("exact"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("exact"), col("r"), bucket(col("item"), col("r")).as("bucket"))
+      .groupBy("r", "bucket").agg(sum(col("exact")).as("c"))
+    val top = counts.orderBy(col("exact").desc, col("item").asc).limit(topK)
     top
       .select(col("item"), col("exact"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
@@ -162,14 +178,22 @@ object Sketch {
     def bucket(v: Column, r: Column): Column =
       conv(substring(md5(concat(v, lit(":"), r.cast("string"))), 1, 2), 16, 10)
         .cast("int") % width
-    val v = rows.select(col(shardCol).as("shard"), col(valueCol).as("item"))
-    val shardCounters = v
-      .select(col("shard"), col("item"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
-      .select(col("shard"), col("r"), bucket(col("item"), col("r")).as("bucket"))
-      .groupBy("shard", "r", "bucket").agg(count(lit(1)).as("c"))
+    // one-scan discipline (see cmsHeavyHitters): per-(shard, item) exact
+    // counts are vocabulary-bounded and feed the shard counter build (d
+    // md5s per distinct pair, cellwise sum(count) ≡ per-occurrence
+    // count(*)), the shard count, and the global top-K probe list.
+    val pairCounts = rows
+      .groupBy(col(shardCol).as("shard"), col(valueCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val shardCounters = pairCounts
+      .select(col("shard"), col("cnt"), explode(sequence(lit(0), lit(depth - 1))).as("r"),
+        col("item"))
+      .select(col("shard"), col("cnt"), col("r"), bucket(col("item"), col("r")).as("bucket"))
+      .groupBy("shard", "r", "bucket").agg(sum(col("cnt")).as("c"))
     val merged = shardCounters.groupBy("r", "bucket").agg(sum(col("c")).as("c"))
-    val nShards = shardCounters.agg(countDistinct(col("shard")).as("n_shards"))
-    val top = v.groupBy("item").agg(count(lit(1)).as("exact"))
+    val nShards = pairCounts.agg(countDistinct(col("shard")).as("n_shards"))
+    val top = pairCounts.groupBy("item").agg(sum(col("cnt")).as("exact"))
       .orderBy(col("exact").desc, col("item").asc).limit(topK)
     top
       .select(col("item"), col("exact"),

@@ -495,7 +495,9 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // doc length off the (doc, term) table, not a second corpus explode:
+    // dl = Σ tf per doc exactly (one tokenize pass instead of two)
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     val qt = queries.select(col("query_id"),

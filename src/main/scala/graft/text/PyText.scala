@@ -137,6 +137,18 @@ object PyText {
     hex(d.digest(s.getBytes("UTF-8")))
   }
 
+  /** First 64 bits of md5(s) as a big-endian long — bit-identical to
+    * `java.lang.Long.parseUnsignedLong(md5Hex(s).take(16), 16)` without the
+    * hex-string round trip (the simhash hot path runs this once per token).
+    */
+  def md5Top64(s: String): Long = {
+    val d = md5Local.get(); d.reset()
+    val b = d.digest(s.getBytes("UTF-8"))
+    ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+      ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+  }
+
   def sha256Hex(s: String): String = {
     val d = sha256Local.get(); d.reset()
     hex(d.digest(s.getBytes("UTF-8")))
