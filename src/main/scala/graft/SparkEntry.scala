@@ -17,6 +17,11 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  // Plain single read per table. A blanket fan-out repartition here was
+  // measured and REJECTED: it won big on CPU-heavy text chains but taxed
+  // every light query with an extra exchange + 32-task scheduling
+  // (q11 0.13→0.64, q83 0.15→0.49 …) — the fan-out lives inside the
+  // CPU-heavy operators instead (TextOps.fanOut; see its scaladoc).
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 

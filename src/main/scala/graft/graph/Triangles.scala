@@ -45,6 +45,10 @@ object Triangles {
     * on uniform keys; per-node rollup is one map-side-partial hash agg.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
+    // NOTE on reuse: edges ends in a distinct/aggregate exchange in every
+    // caller, so its three references below deduplicate via ReusedExchange
+    // (verified: adding explicit localCheckpoints here measured SLOWER —
+    // two extra actions for work Spark already shares).
     val deg = edges.select(col("a").as("n"))
       .unionAll(edges.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("degree"))

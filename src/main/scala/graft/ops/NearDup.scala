@@ -49,8 +49,8 @@ object NearDup {
     * is the one shared discipline.
     */
   private def shingleRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+    TextOps.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol).as("text0")))
+      .select(col("doc_id"), TextOps.tokens(col("text0")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(shingleArr(col("toks")))).as("shingle"))
 
   /** (doc_id, seed, minhash) rows for k seeds; docs w/o shingles omitted.
@@ -245,9 +245,10 @@ object NearDup {
   def prefixJaccardPairs(docs: DataFrame, num: Int, den: Int,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(num > 0 && den >= num, s"threshold num/den must be in (0,1]: $num/$den")
-    // distinct token-bigram rows, one scan shared by df/prefix/verify
-    val grams = docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+    // distinct token-bigram rows, one scan (fanned out — see
+    // TextOps.fanOut) shared by df/prefix/verify
+    val grams = TextOps.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol).as("text0")))
+      .select(col("doc_id"), TextOps.tokens(col("text0")).as("toks"))
       .select(col("doc_id"), explode(array_distinct(shingleArr(col("toks"), 2))).as("gram"))
       .localCheckpoint()
     val dfreq = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))

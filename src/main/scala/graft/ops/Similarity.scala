@@ -272,8 +272,8 @@ object Similarity {
     // groupBy(doc, bucket) → groupBy(doc) collect/map_from_entries shape.
     // count(when(bucket = j)) ≡ the per-bucket count with absent buckets 0,
     // so vectors are bit-identical.
-    val bucketed = docs
-      .select(col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tok"))
+    val bucketed = TextOps.fanOut(docs.select(col(idCol).as("doc_id"), col(textCol).as("text0")))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text0"))).as("tok"))
       .select(col("doc_id"),
         (conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("long") % dim).as("bucket"))
     val cnts = (0 until dim).map(j => count(when(col("bucket") === j, lit(1))).as(s"c$j"))
@@ -348,9 +348,28 @@ object Similarity {
         .otherwise(raise_error(concat(
           lit(s"cosineNearDupPairs: embedding dim != $dimension, got "),
           size(col("nemb")).cast("string")))))
-    val bucketCols = (0 until tables).map(t =>
-      struct(lit(t).as("t"), lshBucket(col("nemb"), dimension, planes, t).as("b")).as(s"bk$t"))
-    val bucketRows = checked.select(col("nid"), explode(array(bucketCols: _*)).as("bucket"))
+    // Buckets via a BROADCAST plane table + map-side partial aggregation,
+    // not the single tables×planes literal mega-expression: one projection
+    // holding all 48 literal hyperplane arrays compiles into one huge
+    // method that the JVM refuses to JIT, and under a materializing sink
+    // it ran ~20× slower than under an aggregation (measured 1.3 s vs
+    // 0.07 s on q44's bucket pass at sf0.1). Here each row computes ONE
+    // small codegen'd dot; the 48× row inflation is map-local — the
+    // partial sum collapses it to `tables` rows per vector before the
+    // exchange. Values are bit-identical: the dot fold order matches the
+    // old expression and the bit-sum over disjoint bitvals equals the old
+    // when-chain reduce.
+    val planeRows: Seq[(Int, Long, Seq[Double])] =
+      for { t <- 0 until tables; j <- 0 until planes }
+        yield (t, 1L << j, hyperplane(dimension, t * planes + j).toSeq)
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    val planesDf = planeRows.toDF("t", "bitval", "plane")
+    val bucketRows = checked.select(col("nid"), col("nemb"))
+      .crossJoin(broadcast(planesDf))
+      .groupBy(col("nid"), col("t"))
+      .agg(sum(when(dot(col("nemb"), col("plane")) > 0, col("bitval")).otherwise(lit(0L))).as("b"))
+      .select(col("nid"), struct(col("t").as("t"), col("b").as("b")).as("bucket"))
     // same cap discipline as NearDup.lshCandidates: when the guardrail is
     // set, a cheap COUNT + semi-join prunes mega-buckets BEFORE any member
     // list is collected — and the SAME checkpointed bucket table feeds the

@@ -301,11 +301,13 @@ object Sketch {
     def pos(v: Column, i: Int): Column =
       conv(substring(md5(concat(v, lit(":"), lit(i))), 1, 3), 16, 10)
         .cast("int") % m
-    val bits = block.select(col(blockCol).as("b"))
+    // one distinct scan of the blocklist serves both the bit positions and
+    // the exact verification set (set semantics make them equal)
+    val b = block.select(col(blockCol).as("b")).distinct().localCheckpoint()
+    val bits = b
       .select(explode(array((0 until k).map(i => pos(col("b"), i)): _*)).as("pos"))
       .agg(array_sort(collect_set(col("pos"))).as("bits"))
-    val blockSet = block.select(col(blockCol).as("b")).distinct()
-      .agg(array_sort(collect_set(col("b"))).as("bset"))
+    val blockSet = b.agg(array_sort(collect_set(col("b"))).as("bset"))
     probe.select(col(probeCol).as("item")).distinct()
       .crossJoin(broadcast(bits))
       .crossJoin(broadcast(blockSet))
@@ -330,13 +332,19 @@ object Sketch {
     def pos(v: Column, i: Int): Column =
       conv(substring(md5(concat(v.cast("string"), lit(":"), lit(i))), 1, 3), 16, 10)
         .cast("int") % m
-    val bits = build.select(col(buildCol).as("b"))
-      .select(explode(array((0 until k).map(i => pos(col("b"), i)): _*)).as("pos"))
+    // ONE distinct scan of the build side, materialized: the bit positions
+    // of the distinct keys are exactly those of the raw keys (set
+    // semantics), and the same snapshot serves the exact semi-join — the
+    // build pipeline is no longer evaluated twice (and md5 runs per
+    // distinct key, not per occurrence)
+    val b = build.select(col(buildCol).as(probeCol)).distinct().localCheckpoint()
+    val bits = b
+      .select(explode(array((0 until k).map(i => pos(col(probeCol), i)): _*)).as("pos"))
       .agg(array_sort(collect_set(col("pos"))).as("bits"))
     probe.crossJoin(broadcast(bits))
       .where((0 until k).map(i => array_contains(col("bits"), pos(col(probeCol), i)))
         .reduce(_ && _))
       .drop("bits")
-      .join(build.select(col(buildCol).as(probeCol)).distinct(), Seq(probeCol), "left_semi")
+      .join(b, Seq(probeCol), "left_semi")
   }
 }

@@ -14,6 +14,24 @@ object TextOps {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => t =!= lit(""))
 
+  /** Scale-adaptive fan-out for CPU-heavy narrow chains (guide §2.5 "input
+    * skew — one huge unsplittable file … repartition immediately after the
+    * read"): a single small parquet file scans as ONE split, so a
+    * tokenize/shingle/md5 chain runs on one core of the whole machine
+    * (measured: the q34 chain's ~1.3 s of task time sat in single-task
+    * stages at local[32]). Conditional on the actual split count vs the
+    * cluster's default parallelism, so multi-split inputs at scale are
+    * untouched — no constant tuned to one box. Applied only inside
+    * operators whose downstream per-row work dwarfs one exchange of the
+    * input (a blanket version on every table read was measured and
+    * rejected: light queries paid more in exchange + task scheduling than
+    * they gained).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= want) df else df.repartition(want)
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def distinctTokenCount(text: Column): Column =
