@@ -58,9 +58,9 @@ object Canonicalize {
     // superseded snapshot can be freed — otherwise the loop retains
     // O(iterations) cached edge tables (real memory at 10⁹ entities).
     val sc = spark.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    def checkpointTracked(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
+      val out = df.localCheckpoint(eager)
       (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def free(ids: Set[Int]): Unit =
@@ -83,6 +83,12 @@ object Canonicalize {
     var prevFp = fingerprint(cur)
     var iter = 0
     var converged = false
+    // rounds after the first are materialized via a LAZY local checkpoint:
+    // the plan is truncated immediately (without truncation the round
+    // plan doubles per iteration — cur appears twice in sym — and analysis
+    // goes exponential), but the snapshot is only computed by the
+    // fingerprint job itself, so each round costs ONE job instead of
+    // checkpoint + a separate fingerprint job
     while (iter < maxIter && !converged) {
       // ---- large-star: every node u links its LARGER neighbors to the min
       // of its closed neighborhood. min is a map-side-partial hash aggregate
@@ -107,8 +113,8 @@ object Canonicalize {
         .select($"v".as("u"), $"m".as("v"))
         .union(mins2.select($"u", $"m".as("v")))
         .distinct()
-      val (next, nextIds) = checkpointTracked(ss)
-      val fp = fingerprint(next)
+      val (next, nextIds) = checkpointTracked(ss, eager = false)
+      val fp = fingerprint(next) // ONE job: materializes the lazy snapshot en route
       // fingerprint equality is necessary-but-probabilistic (a ~2⁻⁶⁴ XOR
       // collision would otherwise silently freeze WRONG labels); confirm
       // with an exact set comparison — counts are already equal inside the

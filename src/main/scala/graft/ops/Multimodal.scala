@@ -841,9 +841,10 @@ object Multimodal {
 
   /** Container sniffing + parse → (valid, width, height, sample_rate,
     * channels, pixel_sum). pixel_sum is the inflate+unfilter statistic for
-    * PNGs and the Huffman+IDCT statistic for baseline grayscale JPEGs
+    * PNGs and the Huffman+IDCT statistic for baseline JPEGs — both
+    * grayscale AND YCbCr 4:2:0 color (R+G+B sum) are fully decoded
     * (0 when the pixel stream is absent/corrupt or outside the decoded
-    * subset — e.g. chroma-subsampled color JPEGs or progressive frames).
+    * subset — e.g. progressive frames or 4:2:2/4:4:4 chroma layouts).
     */
   def decode(payload: Array[Byte]): (Boolean, Int, Int, Int, Int, Long) = {
     decodePng(payload).map { case (w, h) =>
