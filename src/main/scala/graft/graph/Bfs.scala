@@ -21,9 +21,9 @@ object Bfs {
            srcCol: String = "src", dstCol: String = "dst",
            directed: Boolean = false): DataFrame = {
     val sc = spark.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    def checkpointTracked(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
+      val out = df.localCheckpoint(eager)
       (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def free(ids: Set[Int]): Unit =
@@ -45,15 +45,16 @@ object Bfs {
         .select(e("dst").as("node_id")).distinct()
         .join(visited, Seq("node_id"), "left_anti")
         .select(col("node_id"), lit(d.toLong).as("dist"))
-      // one checkpoint per round: the union is materialized eagerly, then
-      // the next frontier is a cheap filter OVER that snapshot (so the
-      // superseded visited snapshot can be freed immediately)
-      val (union, unionIds) = checkpointTracked(visited.unionAll(next))
+      // ONE job per round: the union snapshot is a LAZY local checkpoint
+      // (plan truncated immediately) that the frontier count itself
+      // materializes; the superseded visited snapshot is freed only AFTER
+      // that count, since the lazy snapshot's computation reads it
+      val (union, unionIds) = checkpointTracked(visited.unionAll(next), eager = false)
+      frontier = union.where(col("dist") === d)
+      frontierSize = frontier.count()
       free(visitedIds)
       visited = union
       visitedIds = unionIds
-      frontier = union.where(col("dist") === d)
-      frontierSize = frontier.count()
     }
     free(eIds) // visited snapshot stays live for the caller
     visited

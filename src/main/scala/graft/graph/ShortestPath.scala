@@ -26,9 +26,9 @@ object ShortestPath {
                   srcCol: String = "src", dstCol: String = "dst", wCol: String = "w",
                   directed: Boolean = false): DataFrame = {
     val sc = spark.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    def checkpointTracked(df: DataFrame, eager: Boolean = true): (DataFrame, Set[Int]) = {
       val before = sc.getPersistentRDDs.keySet.toSet
-      val out = df.localCheckpoint()
+      val out = df.localCheckpoint(eager)
       (out, sc.getPersistentRDDs.keySet.toSet -- before)
     }
     def free(ids: Set[Int]): Unit =
@@ -56,21 +56,24 @@ object ShortestPath {
       val improved = cand.join(old, cand("node_id") === old("o_id"), "left")
         .where(col("o_dist").isNull || col("dist") < col("o_dist"))
         .select(col("node_id"), col("dist"))
-      // ONE snapshot per round carrying an improved-flag column: newDist is
-      // every row, newDelta a narrow filter over the same materialized
-      // table — the former two-checkpoint shape ran the relaxation plan in
-      // two separate actions for the same two frames
+      // ONE snapshot AND one job per round: the combined frame carries an
+      // improved-flag column (newDist = every row, newDelta = a narrow
+      // filter over the same snapshot), the snapshot is a LAZY local
+      // checkpoint materialized by the delta count itself, and the
+      // superseded snapshot is freed only AFTER that count (the lazy
+      // snapshot's computation reads it)
       val (combined, newIds) = checkpointTracked(
         dist.join(improved.select(col("node_id").as("i_id")),
             dist("node_id") === col("i_id"), "left_anti")
           .select(col("node_id"), col("dist"), lit(false).as("imp"))
-          .unionAll(improved.select(col("node_id"), col("dist"), lit(true).as("imp"))))
+          .unionAll(improved.select(col("node_id"), col("dist"), lit(true).as("imp"))),
+        eager = false)
+      delta = combined.where(col("imp")).select(col("node_id"), col("dist"))
+      deltaSize = delta.count()
       free(distIds); free(deltaIds)
       dist = combined.select(col("node_id"), col("dist"))
       distIds = newIds
-      delta = combined.where(col("imp")).select(col("node_id"), col("dist"))
       deltaIds = Set.empty
-      deltaSize = delta.count()
     }
     free(eIds); free(deltaIds)
     dist
