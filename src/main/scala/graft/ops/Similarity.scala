@@ -387,14 +387,19 @@ object Similarity {
           .select(col("bucket"))
         (rows.join(keep, Seq("bucket"), "left_semi"), cosineOverflowBuckets(rows, maxBucket))
       }
+    // pair explosion as TWO chained generates, not one nested transform:
+    // the nested form materializes the full k²/2-struct array per bucket
+    // row before exploding (≈131k structs for a 512-member bucket); the
+    // chained form emits one ≤k slice per first-level row. Same (d1 < d2)
+    // pair set — the member list is ascending, so the post-i slice holds
+    // exactly the larger partners.
     val cand = pruned
       .groupBy(col("bucket"))
       .agg(sort_array(collect_list(col("nid"))).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("d1"), y.as("d2")))))).as("p"))
-      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "d1")))
+      .select(col("d1"),
+        explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("d2"))
       .distinct()
     val pairs = cand
       .join(mat.select(col("nid").as("d1"), col("nemb").as("e1"), col("nnorm").as("m1")), Seq("d1"))

@@ -136,6 +136,18 @@ object EmbedStageProbe {
         .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
         .distinct().count()
     }
+    time("cand_chained") {
+      val keep = rows.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
+        .where(col("bn") > 1 && col("bn") <= 512).select(col("bucket"))
+      rows.join(keep, Seq("bucket"), "left_semi")
+        .groupBy(col("bucket"))
+        .agg(sort_array(collect_list(col("nid"))).as("ids"))
+        .where(size(col("ids")) > 1 && size(col("ids")) <= 512)
+        .select(col("ids"), posexplode(col("ids")).as(Seq("i", "d1")))
+        .select(col("d1"),
+          explode(slice(col("ids"), col("i") + lit(2), size(col("ids")))).as("d2"))
+        .distinct().count()
+    }
     time("keep+collect+distinct") {
       val keep = rows.groupBy(col("bucket")).agg(count(lit(1)).as("bn"))
         .where(col("bn") > 1 && col("bn") <= 512).select(col("bucket"))
